@@ -1,0 +1,235 @@
+package org.terifan.ocr;
+
+// Golden-output oracle for the PySpark reimplementation (test-time only; never at runtime).
+//
+// Compiles against the read-only reference at /root/reference and dumps, as JSON + gray
+// PNGs, every intermediate the NumPy kernel must reproduce bit-exactly:
+//   - Java2D's grayscale conversion of each bundled asset (Bitmap.java:26-42)
+//   - learned alphabet features per glyph (CurvatureClassifier.java:45-79,804-846)
+//   - resize calibration: pre-threshold 9x9 gray values (ImageTools.java:11-68)
+//   - full page scans: word/char boxes + recognized strings (OCREngine.java:54-133)
+//
+// Usage:
+//   java org.terifan.ocr.GoldenDump gray      <in.png> <out.png>
+//   java org.terifan.ocr.GoldenDump alphabet  <font.png> <fontName> <out.json>
+//   java org.terifan.ocr.GoldenDump scan      <in.png> <spacingPx> <out.json>
+
+import java.awt.Insets;
+import java.awt.Polygon;
+import java.awt.image.BufferedImage;
+import java.awt.image.DataBufferByte;
+import java.awt.RenderingHints;
+import java.io.File;
+import java.io.PrintWriter;
+import java.util.ArrayList;
+import javax.imageio.ImageIO;
+
+public class GoldenDump
+{
+	static final int MS = OCREngine.DEFAULT_MATRIX_SIZE; // 9
+
+	public static void main(String[] args) throws Exception
+	{
+		switch (args[0])
+		{
+			case "gray": dumpGray(args[1], args[2]); break;
+			case "alphabet": dumpAlphabet(args[1], args[2], args[3]); break;
+			case "scan": dumpScan(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
+			default: throw new IllegalArgumentException(args[0]);
+		}
+	}
+
+	static Bitmap load(String path) throws Exception
+	{
+		return new Bitmap(ImageIO.read(new File(path)));
+	}
+
+	static void dumpGray(String in, String out) throws Exception
+	{
+		Bitmap bmp = load(in);
+		ImageIO.write(bmp.getImage(), "png", new File(out));
+	}
+
+	static String intArr(int[] a)
+	{
+		StringBuilder sb = new StringBuilder("[");
+		for (int i = 0; i < a.length; i++) { if (i > 0) sb.append(","); sb.append(a[i]); }
+		return sb.append("]").toString();
+	}
+
+	static String dblArr(double[] a)
+	{
+		StringBuilder sb = new StringBuilder("[");
+		for (int i = 0; i < a.length; i++)
+		{
+			if (i > 0) sb.append(",");
+			double v = a[i];
+			if (Double.isNaN(v)) sb.append("null"); else sb.append(v);
+		}
+		return sb.append("]").toString();
+	}
+
+	static String esc(String s)
+	{
+		StringBuilder sb = new StringBuilder();
+		for (char c : s.toCharArray())
+		{
+			if (c == '"' || c == '\\') sb.append('\\');
+			sb.append(c);
+		}
+		return sb.toString();
+	}
+
+	// raster of a Bitmap as 0/1 black mask, row-major
+	static String mask(Bitmap b)
+	{
+		int[] m = new int[b.getWidth() * b.getHeight()];
+		for (int y = 0, i = 0; y < b.getHeight(); y++)
+			for (int x = 0; x < b.getWidth(); x++, i++)
+				m[i] = b.isBlack(x, y) ? 1 : 0;
+		return intArr(m);
+	}
+
+	// Replicates CurvatureClassifier.extractBitmap's crop+resize (pre-threshold),
+	// returning the 9x9 averaged gray values - the resize-parity calibration target.
+	static int[] resizedGray(Bitmap page, int bx, int by, int bw, int bh, int[] cropDims)
+	{
+		Insets b = page.getBorders(bx, by, bw, bh);
+		BufferedImage crop = page.getRegion(bx + b.left, by + b.top, bx + bw - b.right + 1, by + bh - b.bottom + 1);
+		cropDims[0] = crop.getWidth();
+		cropDims[1] = crop.getHeight();
+		cropDims[2] = b.top; cropDims[3] = b.left; cropDims[4] = b.bottom; cropDims[5] = b.right;
+		BufferedImage rs = ImageTools.resize(crop, MS, MS, RenderingHints.VALUE_INTERPOLATION_BILINEAR, BufferedImage.TYPE_INT_RGB);
+		int[] g = new int[MS * MS];
+		for (int y = 0, i = 0; y < MS; y++)
+			for (int x = 0; x < MS; x++, i++)
+			{
+				int c = rs.getRGB(x, y);
+				g[i] = ((255 & (c >> 16)) + (255 & (c >> 8)) + (255 & c)) / 3;
+			}
+		return g;
+	}
+
+	static void dumpAlphabet(String fontPng, String fontName, String out) throws Exception
+	{
+		Bitmap sheet = load(fontPng);
+		OCREngine engine = new OCREngine(MS);
+		engine.learnAlphabet(fontName, sheet);
+		ArrayList<Symbol> symbols = engine.getTemplates();
+
+		PrintWriter w = new PrintWriter(out, "UTF-8");
+		w.println("{\"font\":\"" + esc(fontName) + "\",\"matrix_size\":" + MS + ",\"symbols\":[");
+		for (int si = 0; si < symbols.size(); si++)
+		{
+			Symbol s = symbols.get(si);
+			TextBox box = s.mTextBox;
+			int[] cd = new int[6];
+			int[] gray = resizedGray(sheet, box.x, box.y, box.width, box.height, cd);
+
+			w.print("{\"char\":\"" + esc(s.mCharacter) + "\",\"def_char\":\"" + esc(s.mDefCharacter) + "\"");
+			w.print(",\"box\":[" + box.x + "," + box.y + "," + box.width + "," + box.height + "]");
+			w.print(",\"borders\":[" + cd[2] + "," + cd[3] + "," + cd[4] + "," + cd[5] + "]"); // t,l,b,r
+			w.print(",\"crop_w\":" + cd[0] + ",\"crop_h\":" + cd[1]);
+			w.print(",\"gray\":" + intArr(gray));
+			w.print(",\"matrix\":" + mask(s.getBitmap()));
+			w.print(",\"contour\":[");
+			for (int o = 0; o < 8; o++) { if (o > 0) w.print(","); w.print(dblArr(s.mContour[o])); }
+			w.print("],\"slopes\":[");
+			for (int o = 0; o < 8; o++) { if (o > 0) w.print(","); w.print(intArr(s.mSlopes[o])); }
+			w.print("],\"slopes2\":[");
+			for (int o = 0; o < 8; o++) { if (o > 0) w.print(","); w.print(intArr(s.mSlopes2[o])); }
+			w.print("],\"curvature_slopes\":[");
+			for (int o = 0; o < 8; o++) { if (o > 0) w.print(","); w.print(intArr(s.mCurvatureSlopes[o])); }
+			w.print("],\"polygons\":[");
+			for (int o = 0; o < 8; o++)
+			{
+				if (o > 0) w.print(",");
+				w.print("[");
+				for (int i = 0; i < s.mCurvature[o].length; i++)
+				{
+					Polygon p = s.mCurvature[o][i];
+					if (i > 0) w.print(",");
+					w.print("[" + intArr(p.xpoints.length > 3 ? java.util.Arrays.copyOf(p.xpoints, 3) : p.xpoints)
+						+ "," + intArr(p.ypoints.length > 3 ? java.util.Arrays.copyOf(p.ypoints, 3) : p.ypoints) + "]");
+				}
+				w.print("]");
+			}
+			w.print("],\"curvature_vector\":[");
+			for (int o = 0; o < 8; o++)
+			{
+				if (o > 0) w.print(",");
+				w.print("[");
+				for (int t = 0; t < 2; t++) { if (t > 0) w.print(","); w.print(dblArr(s.mCurvatureVector[o][t])); }
+				w.print("]");
+			}
+			w.print("],\"closest_pixel\":[");
+			for (int y = 0; y < MS; y++) { if (y > 0) w.print(","); w.print(intArr(s.mClosestPixel[y])); }
+			w.print("]}");
+			w.println(si < symbols.size() - 1 ? "," : "");
+		}
+		w.println("]}");
+		w.close();
+	}
+
+	static void dumpScan(String pagePng, double spacingPx, int pad, String out) throws Exception
+	{
+		Bitmap sheet = load("/root/reference/src/org/terifan/ocr/fonts/arial.png");
+		BufferedImage src = ImageIO.read(new File(pagePng));
+		if (pad > 0)
+		{
+			// paste onto a white canvas so glyphs never touch the page edge (the reference
+			// indexes the raster unclamped during box growth, PageSegmenter.java:202-236)
+			BufferedImage padded = new BufferedImage(src.getWidth() + 2 * pad, src.getHeight() + 2 * pad, BufferedImage.TYPE_BYTE_GRAY);
+			java.awt.Graphics2D g = padded.createGraphics();
+			g.setColor(java.awt.Color.WHITE);
+			g.fillRect(0, 0, padded.getWidth(), padded.getHeight());
+			g.drawImage(src, pad, pad, null);
+			g.dispose();
+			src = padded;
+		}
+		Bitmap bmp = new Bitmap(src);
+		Page page = new Page(bmp);
+		// canonical input raster for the Python side (post gray-conversion, post padding)
+		ImageIO.write(bmp.getImage(), "png", new File(out.replace(".json", ".gray.png")));
+
+		OCREngine engine = new OCREngine(MS);
+		engine.learnAlphabet("arial", sheet);
+
+		Settings settings = new Settings();
+		settings.setMaxCharacterSpacing(spacingPx);
+
+		engine.loadPage(page, settings);
+		engine.scan(0, 0, 1, 1, new SimpleResolver());
+
+		PrintWriter w = new PrintWriter(out, "UTF-8");
+		w.println("{\"page\":\"" + esc(new File(pagePng).getName()) + "\",\"spacing_px\":" + spacingPx
+			+ ",\"width\":" + bmp.getWidth() + ",\"height\":" + bmp.getHeight() + ",\"words\":[");
+		ArrayList<TextBox> words = engine.getScanResult();
+		for (int wi = 0; wi < words.size(); wi++)
+		{
+			TextBox word = words.get(wi);
+			w.print("{\"box\":[" + word.x + "," + word.y + "," + word.width + "," + word.height + "]");
+			w.print(",\"text\":\"" + esc(word.toString()) + "\"");
+			w.print(",\"chars\":[");
+			ArrayList<TextBox> chars = word.getChildren();
+			for (int ci = 0; ci < chars.size(); ci++)
+			{
+				TextBox cb = chars.get(ci);
+				int[] cd = new int[6];
+				int[] gray = resizedGray(bmp, cb.x, cb.y, cb.width, cb.height, cd);
+				String ch = cb.getResults().isEmpty() ? "" : cb.getResults().get(0).getSymbol().getCharacter();
+				if (ci > 0) w.print(",");
+				w.print("{\"box\":[" + cb.x + "," + cb.y + "," + cb.width + "," + cb.height + "]");
+				w.print(",\"index\":" + cb.getIndex());
+				w.print(",\"char\":\"" + esc(ch) + "\"");
+				w.print(",\"borders\":[" + cd[2] + "," + cd[3] + "," + cd[4] + "," + cd[5] + "]");
+				w.print(",\"crop_w\":" + cd[0] + ",\"crop_h\":" + cd[1]);
+				w.print(",\"gray\":" + intArr(gray) + "}");
+			}
+			w.print("]}");
+			w.println(wi < words.size() - 1 ? "," : "");
+		}
+		w.println("]}");
+		w.close();
+	}
+}
