@@ -35,6 +35,11 @@ public class GoldenDump
 			case "gray": dumpGray(args[1], args[2]); break;
 			case "alphabet": dumpAlphabet(args[1], args[2], args[3]); break;
 			case "scan": dumpScan(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
+			case "lut": dumpLut(args[1]); break;
+			case "lutgetrgb": dumpLutGetRGB(args[1]); break;
+			case "resize": dumpResizeProbes(args[1]); break;
+			case "resize2": dumpResize2(Integer.parseInt(args[1]), Integer.parseInt(args[2]), Integer.parseInt(args[3]), Integer.parseInt(args[4]), args[5]); break;
+			case "blit1": blit1(Integer.parseInt(args[1]), Integer.parseInt(args[2]), Integer.parseInt(args[3]), Integer.parseInt(args[4]), args[5], args[6]); break;
 			default: throw new IllegalArgumentException(args[0]);
 		}
 	}
@@ -169,6 +174,143 @@ public class GoldenDump
 		}
 		w.println("]}");
 		w.close();
+	}
+
+	// gray->sRGB conversion table used when TYPE_BYTE_GRAY is drawn into TYPE_INT_RGB
+	static void dumpLut(String out) throws Exception
+	{
+		BufferedImage g8 = new BufferedImage(256, 1, BufferedImage.TYPE_BYTE_GRAY);
+		byte[] raster = ((DataBufferByte)g8.getRaster().getDataBuffer()).getData();
+		for (int i = 0; i < 256; i++) raster[i] = (byte)i;
+		BufferedImage rgb = new BufferedImage(256, 1, BufferedImage.TYPE_INT_RGB);
+		java.awt.Graphics2D g = rgb.createGraphics();
+		g.drawImage(g8, 0, 0, null);
+		g.dispose();
+		int[] lut = new int[256];
+		int[] lutG = new int[256];
+		int[] lutB = new int[256];
+		for (int i = 0; i < 256; i++)
+		{
+			int c = rgb.getRGB(i, 0);
+			lut[i] = 255 & (c >> 16); lutG[i] = 255 & (c >> 8); lutB[i] = 255 & c;
+		}
+		PrintWriter w = new PrintWriter(out, "UTF-8");
+		w.println("{\"r\":" + intArr(lut) + ",\"g\":" + intArr(lutG) + ",\"b\":" + intArr(lutB) + "}");
+		w.close();
+	}
+
+	// gray->sRGB curve applied by BufferedImage.getRGB on TYPE_BYTE_GRAY
+	// (hit when the crop is already exactly matrix-sized and resize() is a no-op)
+	static void dumpLutGetRGB(String out) throws Exception
+	{
+		BufferedImage g8 = new BufferedImage(256, 1, BufferedImage.TYPE_BYTE_GRAY);
+		byte[] raster = ((DataBufferByte)g8.getRaster().getDataBuffer()).getData();
+		for (int i = 0; i < 256; i++) raster[i] = (byte)i;
+		int[] lut = new int[256];
+		for (int i = 0; i < 256; i++) lut[i] = 255 & (g8.getRGB(i, 0) >> 16);
+		PrintWriter w = new PrintWriter(out, "UTF-8");
+		w.println("{\"r\":" + intArr(lut) + "}");
+		w.close();
+	}
+
+	// deterministic pseudo-random gray patterns resized to 9x9: calibration pairs
+	static void dumpResizeProbes(String out) throws Exception
+	{
+		int[][] sizes = {
+			{1,1},{2,2},{3,3},{4,4},{5,5},{6,6},{7,7},{8,8},{9,9},{10,10},{11,11},
+			{12,12},{13,13},{15,15},{17,17},{18,18},{19,22},{14,21},{16,23},{3,22},
+			{5,50},{50,5},{36,36},{37,41},{47,53},{67,49},{69,67},{70,68},{100,75},
+			{2,9},{9,2},{8,23},{23,8},{33,9},{9,33},{27,31},{63,64},{96,96}
+		};
+		long seed = 0x5DEECE66DL;
+		PrintWriter w = new PrintWriter(out, "UTF-8");
+		w.println("{\"probes\":[");
+		for (int si = 0; si < sizes.length; si++)
+		{
+			int pw = sizes[si][0], ph = sizes[si][1];
+			BufferedImage g8 = new BufferedImage(pw, ph, BufferedImage.TYPE_BYTE_GRAY);
+			byte[] raster = ((DataBufferByte)g8.getRaster().getDataBuffer()).getData();
+			int[] in = new int[pw * ph];
+			for (int i = 0; i < raster.length; i++)
+			{
+				// LCG identical to the python side
+				seed = (seed * 6364136223846793005L + 1442695040888963407L);
+				int v = (int)((seed >>> 33) & 255);
+				raster[i] = (byte)v;
+				in[i] = v;
+			}
+			BufferedImage rs = ImageTools.resize(g8, MS, MS, RenderingHints.VALUE_INTERPOLATION_BILINEAR, BufferedImage.TYPE_INT_RGB);
+			int[] outPix = new int[MS * MS];
+			int[] outR = new int[MS * MS];
+			for (int y = 0, i = 0; y < MS; y++)
+				for (int x = 0; x < MS; x++, i++)
+				{
+					int c = rs.getRGB(x, y);
+					outPix[i] = ((255 & (c >> 16)) + (255 & (c >> 8)) + (255 & c)) / 3;
+					outR[i] = 255 & (c >> 16);
+				}
+			w.print("{\"w\":" + pw + ",\"h\":" + ph + ",\"in\":" + intArr(in) + ",\"out\":" + intArr(outPix) + ",\"out_r\":" + intArr(outR) + "}");
+			w.println(si < sizes.length - 1 ? "," : "");
+		}
+		w.println("]}");
+		w.close();
+	}
+
+	// single drawImage scale step (as in ImageTools.resizeDown), src gray or rgb
+	static void blit1(int pw, int ph, int tw, int th, String srcType, String csv) throws Exception
+	{
+		String[] parts = csv.split(",");
+		BufferedImage src;
+		if (srcType.equals("gray"))
+		{
+			src = new BufferedImage(pw, ph, BufferedImage.TYPE_BYTE_GRAY);
+			byte[] raster = ((DataBufferByte)src.getRaster().getDataBuffer()).getData();
+			for (int i = 0; i < raster.length; i++) raster[i] = (byte)Integer.parseInt(parts[i % parts.length].trim());
+		}
+		else
+		{
+			src = new BufferedImage(pw, ph, BufferedImage.TYPE_INT_RGB);
+			for (int y = 0, i = 0; y < ph; y++)
+				for (int x = 0; x < pw; x++, i++)
+				{
+					int v = Integer.parseInt(parts[i % parts.length].trim());
+					src.setRGB(x, y, (v << 16) | (v << 8) | v);
+				}
+		}
+		BufferedImage dst = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB);
+		java.awt.Graphics2D g = dst.createGraphics();
+		g.setRenderingHint(RenderingHints.KEY_INTERPOLATION, RenderingHints.VALUE_INTERPOLATION_BILINEAR);
+		g.setRenderingHint(RenderingHints.KEY_RENDERING, RenderingHints.VALUE_RENDER_QUALITY);
+		g.drawImage(src, 0, 0, tw, th, null);
+		g.dispose();
+		StringBuilder sb = new StringBuilder();
+		for (int y = 0; y < th; y++)
+			for (int x = 0; x < tw; x++)
+			{
+				if (sb.length() > 0) sb.append(",");
+				sb.append(255 & (dst.getRGB(x, y) >> 16));
+			}
+		System.out.println(sb);
+	}
+
+	// one-off resize of a csv pattern (stdin) to (tw,th); prints output csv to stdout
+	static void dumpResize2(int pw, int ph, int tw, int th, String csv) throws Exception
+	{
+		String[] parts = csv.split(",");
+		BufferedImage g8 = new BufferedImage(pw, ph, BufferedImage.TYPE_BYTE_GRAY);
+		byte[] raster = ((DataBufferByte)g8.getRaster().getDataBuffer()).getData();
+		for (int i = 0; i < raster.length; i++) raster[i] = (byte)Integer.parseInt(parts[i % parts.length].trim());
+		BufferedImage rs = ImageTools.resize(g8, tw, th, RenderingHints.VALUE_INTERPOLATION_BILINEAR, BufferedImage.TYPE_INT_RGB);
+		StringBuilder sb = new StringBuilder();
+		for (int y = 0; y < rs.getHeight(); y++)
+		{
+			for (int x = 0; x < rs.getWidth(); x++)
+			{
+				if (sb.length() > 0) sb.append(",");
+				sb.append(255 & (rs.getRGB(x, y) >> 16));
+			}
+		}
+		System.out.println(sb);
 	}
 
 	static void dumpScan(String pagePng, double spacingPx, int pad, String out) throws Exception
