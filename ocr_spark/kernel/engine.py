@@ -1,0 +1,106 @@
+"""Page-level orchestration (reference OCREngine.java): segment + classify.
+
+``scan_page`` is the per-page kernel the Spark UDFs call: one gray raster in,
+recognized words (with char boxes) out. Feature extraction is memoized by
+matrix bytes — rendered corpora reuse a small glyph set, and even organic
+pages repeat glyphs heavily, so the cache turns the O(glyphs) feature chain
+into O(distinct glyphs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitmap import extract_matrix
+from .classify import Alphabet, classify_batch
+from .segment import (
+    CharBox,
+    Settings,
+    WordBox,
+    find_character_rectangles,
+    find_word_rectangles,
+    split_words,
+)
+from .features import curvature_vector
+
+_VEC_CACHE: dict[bytes, np.ndarray] = {}
+_VEC_CACHE_MAX = 200_000
+
+
+def _vector_of(matrix: np.ndarray) -> np.ndarray:
+    key = np.packbits(matrix).tobytes()
+    v = _VEC_CACHE.get(key)
+    if v is None:
+        v = curvature_vector(matrix).reshape(-1)
+        if len(_VEC_CACHE) >= _VEC_CACHE_MAX:
+            _VEC_CACHE.clear()
+        _VEC_CACHE[key] = v
+    return v
+
+
+def load_page(gray: np.ndarray, settings: Settings, region=(0.0, 0.0, 1.0, 1.0)):
+    """OCREngine.loadPage (:54-71): segmentation only; returns [WordBox]."""
+    rects = find_character_rectangles(gray, settings, *region)
+    word_rects = find_word_rectangles(rects, settings)
+    return split_words(gray, word_rects, settings)
+
+
+def scan_page(
+    gray: np.ndarray,
+    settings: Settings,
+    alphabet: Alphabet,
+    region=(0.0, 0.0, 1.0, 1.0),
+    accept_word=None,
+) -> list[WordBox]:
+    """OCREngine.scan (:101-159) over a loaded page, full-region default.
+
+    Words whose segmentation produced no children are classified as a single
+    glyph (scanBox leaf case, :136-149), exactly like the reference.
+    """
+    words = load_page(gray, settings)
+    H, W = gray.shape
+    fx0, fy0, fx1, fy1 = region
+
+    targets: list[WordBox] = []
+    boxes = []  # (word, char_or_none)
+    for word in words:
+        if not (
+            word.x + word.w > W * fx0
+            and word.y + word.h > H * fy0
+            and word.x < W * fx1
+            and word.y < H * fy1
+        ):
+            continue
+        targets.append(word)
+        if word.chars:
+            for cb in word.chars:
+                boxes.append((word, cb))
+        else:
+            boxes.append((word, None))
+
+    if boxes:
+        vecs = []
+        for word, cb in boxes:
+            b = cb if cb is not None else word
+            matrix, _ = extract_matrix(gray, b.x, b.y, b.w, b.h, alphabet.n)
+            vecs.append(_vector_of(matrix))
+        idx, _ = classify_batch(np.stack(vecs), alphabet)
+        for (word, cb), i in zip(boxes, idx):
+            ch = alphabet.chars[int(i)]
+            if cb is None:
+                word.chars.append(CharBox(word.x, word.y, word.w, word.h, 0, ch))
+            else:
+                cb.char = ch
+
+    if accept_word is not None:
+        targets = [w for w in targets if accept_word(w.text)]
+    return targets
+
+
+def page_text(words: list[WordBox]) -> str:
+    """Canonical page text: recognized words in engine scan order."""
+    return " ".join(w.text for w in words)
+
+
+def recognize(gray: np.ndarray, settings: Settings, alphabet: Alphabet) -> str:
+    return page_text(scan_page(gray, settings, alphabet))
