@@ -1,0 +1,68 @@
+"""Arrow-vectorized UDFs wrapping the NumPy kernel and the stripper.
+
+The learned alphabet travels as a plain dict of ndarrays captured by the UDF
+closure (Spark pickles it once per executor — ~30 KB, the broadcast-variable
+pattern without the broadcast plumbing). All heavy work is per-batch NumPy;
+no per-row Python outside the per-page kernel loop, which is itself memoized
+by glyph matrix (ocr_spark.kernel.engine)."""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..html.strip import strip_html
+from ..kernel.classify import Alphabet
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+@functools.lru_cache(maxsize=1)
+def default_alphabet() -> Alphabet:
+    """Learn the bundled arial sheet once per process (driver or worker)."""
+    from ..png import decode_gray
+
+    with open(os.path.join(_DATA_DIR, "arial.gray.png"), "rb") as f:
+        return Alphabet().learn_sheet(decode_gray(f.read()), "arial")
+
+
+def make_strip_udf(min_words: int = 3, max_link_density: float = 0.5):
+    @pandas_udf(T.StringType())
+    def strip_udf(html: pd.Series) -> pd.Series:
+        return strip_html(html, min_words=min_words, max_link_density=max_link_density)
+
+    return strip_udf
+
+
+def make_ocr_udf(alphabet: Alphabet | None = None, character_spacing: float = 8.0):
+    """OCR a batch of PNG blobs. The alphabet dict rides in the closure;
+    workers rebuild the Alphabet lazily and reuse it across batches."""
+    alpha_dict = (alphabet or default_alphabet()).to_dict()
+    state: dict = {}
+
+    @pandas_udf(T.StringType())
+    def ocr_udf(png: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: F401  (worker-side import)
+
+        from ..kernel.engine import recognize
+        from ..kernel.segment import Settings
+        from ..png import decode_gray
+
+        if "alpha" not in state:
+            state["alpha"] = Alphabet.from_dict(alpha_dict)
+            state["settings"] = Settings(character_spacing=character_spacing)
+        alpha = state["alpha"]
+        settings = state["settings"]
+
+        def one(blob):
+            if blob is None:
+                return None
+            return recognize(decode_gray(bytes(blob)), settings, alpha)
+
+        return png.map(one)
+
+    return ocr_udf

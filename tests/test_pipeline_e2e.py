@@ -1,0 +1,126 @@
+"""End-to-end Spark pipeline tests: span-sequence equality vs the oracle
+table, resume idempotency, skew handling, deterministic parallelism."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from conftest import REPO
+
+pyspark = pytest.importorskip("pyspark")
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ocr_spark.pipeline.job import configure
+
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("ocr_spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+    )
+    s = configure(builder).getOrCreate()
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "synth.py"), "--scale", "tiny", "--out", out],
+        check=True,
+    )
+    return out
+
+
+def _spans_set(df):
+    return {
+        (r.doc_id, r.ord, r.kind, r.text, r.media_ref)
+        for r in df.select("doc_id", "ord", "kind", "text", "media_ref").collect()
+    }
+
+
+def test_extraction_span_equality(spark, corpus, tmp_path):
+    from ocr_spark.pipeline.job import extract, read_output
+
+    out_dir = str(tmp_path / "out")
+    metrics = extract(spark, corpus, out_dir, buckets=4)
+    assert metrics["buckets_done"] == 4
+
+    got = _spans_set(read_output(spark, out_dir))
+    expected = _spans_set(spark.read.parquet(f"{corpus}/expected_spans.parquet"))
+    assert got == expected  # (kind, text, media_ref, order) per doc, 100%
+
+
+def test_resume_is_idempotent(spark, corpus, tmp_path):
+    from ocr_spark.pipeline.job import extract, read_output
+
+    out_dir = str(tmp_path / "out_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        extract(spark, corpus, out_dir, buckets=4, fail_after=2)
+
+    # second run resumes: skips the two committed buckets, finishes the rest
+    metrics = extract(spark, corpus, out_dir, buckets=4)
+    assert metrics["buckets_skipped"] == 2
+    assert metrics["buckets_done"] == 2
+
+    got = read_output(spark, out_dir)
+    expected = _spans_set(spark.read.parquet(f"{corpus}/expected_spans.parquet"))
+    assert _spans_set(got) == expected  # no duplicates, no holes
+    assert got.count() == len(expected)
+
+    # manifest: every bucket committed exactly once
+    m = spark.read.parquet(f"{out_dir}/_manifest")
+    assert m.count() == 4
+    assert m.where(F.col("status") == "committed").count() == 4
+    assert m.agg(F.sum("span_count")).collect()[0][0] == len(expected)
+
+
+def test_rerun_after_partial_write_no_dupes(spark, corpus, tmp_path):
+    """Kill between parquet write and manifest commit -> bucket rewritten."""
+    from ocr_spark.pipeline.job import extract, extract_spans, read_documents, read_media, read_output
+
+    out_dir = str(tmp_path / "out_partial")
+    # simulate a half-written bucket: write bucket 1's data without manifest
+    docs = read_documents(spark, corpus)
+    media = read_media(spark, corpus)
+    subset = docs.where(F.crc32(F.col("doc_id")) % 4 == 1)
+    extract_spans(subset, media).write.mode("overwrite").parquet(f"{out_dir}/spans/bucket=1")
+
+    extract(spark, corpus, out_dir, buckets=4)
+    got = read_output(spark, out_dir)
+    expected = _spans_set(spark.read.parquet(f"{corpus}/expected_spans.parquet"))
+    assert _spans_set(got) == expected
+    assert got.count() == len(expected)
+
+
+def test_skewed_corpus(spark, tmp_path_factory, tmp_path):
+    """3 hot docs with 500-1000 media spans must not break span equality."""
+    from ocr_spark.pipeline.job import extract, read_output
+
+    corpus = str(tmp_path_factory.mktemp("corpus_skew"))
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "synth.py"),
+            "--scale",
+            "tiny",
+            "--n-docs",
+            "20",
+            "--skew",
+            "--out",
+            corpus,
+        ],
+        check=True,
+    )
+    out_dir = str(tmp_path / "out_skew")
+    extract(spark, corpus, out_dir, buckets=2)
+    got = _spans_set(read_output(spark, out_dir))
+    expected = _spans_set(spark.read.parquet(f"{corpus}/expected_spans.parquet"))
+    assert got == expected
