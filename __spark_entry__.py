@@ -1,38 +1,558 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship interleaved-document extraction pipeline
+(text spans -> vectorized boilerplate stripper, media spans -> curvature OCR
+kernel) over sf0.001 plus a deterministic synthesized media corpus.
+
+``queries()`` exposes every implemented operator family from SURVEY.md §2 /
+the training-data-pipeline set (dedup, similarity search, text analysis,
+events, relational shell); ``oracle_sql()`` gives the DuckDB twin for each
+SQL-expressible one. Conventions both sides share (do not change one side):
+
+  * tokens = split(trim(text), '\\s+'); md5 = lowercase hex
+  * derived ints cast to BIGINT; ratios = CAST(a AS DOUBLE)/b
+  * money math in DECIMAL(18,2) then one cast to DOUBLE (order-independent)
+  * timestamps surfaced as epoch microseconds BIGINT (tz-proof hashing);
+    Spark session timezone pinned to UTC inside each affected callable
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+_FIXTURE_DIR = os.environ.get("OCR_SPARK_FIXTURES", "/tmp/ocr_spark_fixtures")
+
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SQL_SHINGLES = f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    )
+"""
+_SQL_MINHASH = f"""
+    SELECT doc_id, band::BIGINT AS band,
+           MIN(md5(band::VARCHAR || '|' || shingle)) AS minhash
+    FROM (SELECT doc_id, shingle, UNNEST(generate_series(0, 3)) AS band
+          FROM ({_SQL_SHINGLES}))
+    GROUP BY doc_id, band
+"""
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _synth_corpus(scale: str = "tiny") -> str:
+    from ocr_spark.fixtures import ensure_corpus
+
+    return ensure_corpus(os.path.join(_FIXTURE_DIR, scale), scale=scale)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full interleaved extraction. sf0.001 documents ride through
+    the text-span path (stripper UDF); a deterministic synthesized corpus
+    (text+media spans, truth known by construction) exercises the OCR path.
+    Returns the reassembled span table (doc_id, ord, kind, text, media_ref).
+    """
+    from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media
+    from ocr_spark.pipeline.udfs import make_strip_udf
+
+    configure(spark)
+    corpus = _synth_corpus("tiny")
+    docs = read_documents(spark, corpus)
+    media = read_media(spark, corpus)
+    synth_spans = extract_spans(docs, media, character_spacing=8.0)
+
+    strip_udf = make_strip_udf()
+    sf_docs = _docs(spark, "/root/testdata/sf0.001").select(
+        F.concat(F.lit("sf-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.lit(0).cast("int").alias("ord"),
+        F.lit("text").alias("kind"),
+        strip_udf(F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    return synth_spans.unionByName(sf_docs)
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def _q_pricing(spark, sf_dir):
+    from ocr_spark.functions.relational import pricing_summary
+
+    return pricing_summary(_read(spark, sf_dir, "lineitem"))
+
+
+def _q_order_revenue(spark, sf_dir):
+    from ocr_spark.functions.relational import order_revenue
+
+    _utc(spark)
+    df = order_revenue(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+    )
+    return df.select(
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+        "revenue",
+        "n_items",
+    )
+
+
+def _q_nation_volume(spark, sf_dir):
+    from ocr_spark.functions.relational import nation_volume
+
+    return nation_volume(
+        _read(spark, sf_dir, "region"),
+        _read(spark, sf_dir, "nation"),
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "lineitem"),
+        _read(spark, sf_dir, "supplier"),
+    )
+
+
+def _q_segment_totals(spark, sf_dir):
+    from ocr_spark.functions.relational import segment_totals
+
+    return segment_totals(_read(spark, sf_dir, "customer"), _read(spark, sf_dir, "orders"))
+
+
+def _q_brand_volume(spark, sf_dir):
+    from ocr_spark.functions.relational import brand_volume
+
+    return brand_volume(_read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part"))
+
+
+def _q_events_hourly(spark, sf_dir):
+    from ocr_spark.functions.events import tumbling_hourly
+
+    _utc(spark)
+    return tumbling_hourly(_read(spark, sf_dir, "events")).select(
+        F.unix_micros(F.col("hour").cast("timestamp")).alias("hour_us"),
+        "event_type", "n_events", "sum_value", "n_users",
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    from ocr_spark.functions.events import sessionize
+
+    _utc(spark)
+    return sessionize(_read(spark, sf_dir, "events")).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_micros(F.col("t_start").cast("timestamp")).alias("t_start_us"),
+        F.unix_micros(F.col("t_end").cast("timestamp")).alias("t_end_us"),
+        "sum_value",
+    )
+
+
+def _q_events_top_users(spark, sf_dir):
+    from ocr_spark.functions.events import top_users
+
+    return top_users(_read(spark, sf_dir, "events"), k=5)
+
+
+def _q_token_stats(spark, sf_dir):
+    from ocr_spark.functions.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from ocr_spark.functions.text import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from ocr_spark.functions.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from ocr_spark.functions.text import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from ocr_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_prefix(spark, sf_dir):
+    from ocr_spark.functions.text import fingerprints
+
+    fp = fingerprints(_docs(spark, sf_dir))
+    return (
+        fp.groupBy("fp_prefix3")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def _q_minhash(spark, sf_dir):
+    from ocr_spark.functions.dedup import minhash_signatures, shingles
+
+    return minhash_signatures(shingles(_docs(spark, sf_dir)))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from ocr_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+
+    return lsh_candidate_pairs(minhash_signatures(shingles(_docs(spark, sf_dir))))
+
+
+def _q_jaccard(spark, sf_dir):
+    from ocr_spark.functions.dedup import jaccard_pairs, shingles
+
+    return jaccard_pairs(shingles(_docs(spark, sf_dir)))
+
+
+def _q_simhash(spark, sf_dir):
+    from ocr_spark.functions.dedup import simhash_bits
+
+    return simhash_bits(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from ocr_spark.functions.similarity import cosine_topk
+
+    return cosine_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def _q_bucket_hist(spark, sf_dir):
+    from ocr_spark.functions.similarity import bucket_histogram
+
+    return bucket_histogram(_read(spark, sf_dir, "embeddings"))
+
+
+def _q_lsh_topk(spark, sf_dir):
+    from ocr_spark.functions.similarity import bucketed_topk
+
+    return bucketed_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def _q_ocr_extract(spark, sf_dir):
+    """Non-SQL-expressible: the OCR+strip extraction over the deterministic
+    synthesized interleaved corpus (truth known by construction; correctness
+    is enforced by tests/test_pipeline_e2e.py span-equality)."""
+    from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media
+
+    configure(spark)
+    corpus = _synth_corpus("tiny")
+    return extract_spans(read_documents(spark, corpus), read_media(spark, corpus))
+
+
+def _q_image_features(spark, sf_dir):
+    """Non-SQL-expressible: multimodal binary-column decode/feature plumbing."""
+    from ocr_spark.functions.multimodal import image_features
+
+    corpus = _synth_corpus("tiny")
+    media = spark.read.parquet(f"{corpus}/media.parquet")
+    return image_features(media)
+
+
+def _q_frame_sample(spark, sf_dir):
+    """Non-SQL-expressible: video frame-sampling plumbing (deterministic fake
+    decode; real codec stubbed per container limits)."""
+    from ocr_spark.functions.multimodal import frame_sample
+
+    corpus = _synth_corpus("tiny")
+    media = spark.read.parquet(f"{corpus}/media.parquet").select(
+        "media_ref", F.col("png").alias("payload")
+    )
+    return frame_sample(media, deterministic_fake=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q_pricing,
+        "q3_order_revenue": _q_order_revenue,
+        "q5_nation_volume": _q_nation_volume,
+        "segment_totals": _q_segment_totals,
+        "brand_volume": _q_brand_volume,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "events_top_users": _q_events_top_users,
+        "doc_token_stats": _q_token_stats,
+        "doc_quality": _q_quality,
+        "doc_lang_id": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix3": _q_dedup_prefix,
+        "minhash_signatures": _q_minhash,
+        "lsh_candidate_pairs": _q_lsh_pairs,
+        "ngram_jaccard": _q_jaccard,
+        "simhash_bits": _q_simhash,
+        "emb_cosine_topk": _q_cosine_topk,
+        "emb_bucket_hist": _q_bucket_hist,
+        "emb_lsh_topk": _q_lsh_topk,
+        "ocr_extract_spans": _q_ocr_extract,
+        "media_image_features": _q_image_features,
+        "video_frame_sample": _q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "DECIMAL(18,2)"
+    rev = f"CAST(l_extendedprice AS {dec}) * (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))"
+    stop_en = "['the','a','and','of','to','is']"
+    markers = {
+        "en": stop_en,
+        "es": "['el','la','de','que','y','los']",
+        "de": "['der','die','das','und','nicht','ist']",
+        "fr": "['le','la','de','et','les','est']",
+    }
+    score = {
+        lang: f"len(list_filter(toks, t -> list_contains({arr}, lower(t))))::BIGINT"
+        for lang, arr in markers.items()
+    }
+
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS {dec})) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({rev}) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*)::BIGINT AS count_order,
+                   CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_order_revenue": f"""
+            SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   CAST(SUM({rev}) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+        """,
+        "q5_nation_volume": f"""
+            SELECT n.n_name,
+                   CAST(SUM({rev}) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'REGION_0'
+            WHERE s.s_nationkey = c.c_nationkey
+            GROUP BY n.n_name
+        """,
+        "segment_totals": f"""
+            SELECT c.c_mktsegment,
+                   COUNT(*)::BIGINT AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS {dec})) AS DOUBLE) AS sum_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "brand_volume": f"""
+            SELECT p.p_brand,
+                   CAST(SUM(CAST(l.l_quantity AS {dec})) AS DOUBLE) AS sum_qty,
+                   CAST(SUM({rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "events_hourly": f"""
+            SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+                   COUNT(*)::BIGINT AS n_events,
+                   CAST(SUM(CAST(value AS {dec})) AS DOUBLE) AS sum_value,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": f"""
+            WITH e AS (
+                SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                FROM events
+            ), s AS (
+                SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                               THEN 1 ELSE 0 END AS is_new
+                FROM e
+            ), t AS (
+                SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+                FROM s
+            )
+            SELECT user_id, session_id, COUNT(*)::BIGINT AS n_events,
+                   epoch_us(MIN(ts)) AS t_start_us, epoch_us(MAX(ts)) AS t_end_us,
+                   CAST(SUM(CAST(value AS {dec})) AS DOUBLE) AS sum_value
+            FROM t GROUP BY user_id, session_id
+        """,
+        "events_top_users": """
+            SELECT user_id, n_events, rnk FROM (
+                SELECT user_id, COUNT(*)::BIGINT AS n_events,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id)::BIGINT AS rnk
+                FROM events GROUP BY user_id
+            ) WHERE rnk <= 5
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id, length(text)::BIGINT AS n_chars,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(list_transform(toks, t -> lower(t))))::BIGINT AS n_distinct_tokens
+            FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(t)::BIGINT AS n_chars,
+                   len(toks)::BIGINT AS n_tokens,
+                   (length(t) - length(regexp_replace(t, '[.!?,;:]', '', 'g')))::BIGINT AS n_punct,
+                   {score['en'].replace('toks,', 'toks,')} AS n_stop,
+                   CAST(len(list_filter(toks, t -> list_contains({stop_en}, lower(t)))) AS DOUBLE)
+                       / len(toks) AS stop_ratio,
+                   CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                       / len(toks) AS mean_token_len
+            FROM (SELECT doc_id, text AS t, {_SQL_TOKS} AS toks FROM documents)
+        """,
+        "doc_lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN s_en = best THEN 'en'
+                        WHEN s_es = best THEN 'es'
+                        WHEN s_de = best THEN 'de'
+                        WHEN s_fr = best THEN 'fr' END AS lang_pred,
+                   s_en, s_es, s_de, s_fr
+            FROM (
+                SELECT doc_id, s_en, s_es, s_de, s_fr,
+                       greatest(s_en, s_es, s_de, s_fr) AS best
+                FROM (
+                    SELECT doc_id,
+                           {score['en']} AS s_en,
+                           {score['es']} AS s_es,
+                           {score['de']} AS s_de,
+                           {score['fr']} AS s_fr
+                    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+                )
+            )
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_norm,
+                   md5(array_to_string(list_slice(toks, 1, 3), ' ')) AS fp_prefix3
+            FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 3
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, COUNT(*)::BIGINT AS dup_count
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "dedup_prefix3": f"""
+            SELECT fp_prefix3, COUNT(*)::BIGINT AS dup_count FROM (
+                SELECT md5(array_to_string(list_slice(toks, 1, 3), ' ')) AS fp_prefix3
+                FROM (SELECT {_SQL_TOKS} AS toks FROM documents)
+                WHERE len(toks) >= 3
+            ) GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "minhash_signatures": _SQL_MINHASH,
+        "lsh_candidate_pairs": f"""
+            WITH sig AS ({_SQL_MINHASH})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS ({_SQL_SHINGLES}),
+            sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = common.doc_a
+            JOIN sizes sb ON sb.doc_id = common.doc_b
+        """,
+        "simhash_bits": f"""
+            WITH dt AS (
+                SELECT doc_id, token, COUNT(*)::BIGINT AS cnt
+                FROM (SELECT doc_id, UNNEST({_SQL_TOKS}) AS token FROM documents)
+                GROUP BY 1, 2
+            ), bits AS (
+                SELECT token, b::BIGINT AS bit_idx,
+                       2 * (((strpos('0123456789abcdef',
+                                     substr(md5(token), (b // 4) + 1, 1)) - 1)
+                             >> (3 - (b % 4))) % 2) - 1 AS contrib
+                FROM (SELECT token, UNNEST(generate_series(0, 63)) AS b
+                      FROM (SELECT DISTINCT token FROM dt))
+            )
+            SELECT dt.doc_id, bits.bit_idx,
+                   (CASE WHEN SUM(dt.cnt * bits.contrib) > 0 THEN 1 ELSE 0 END)::BIGINT AS bit
+            FROM dt JOIN bits ON dt.token = bits.token
+            GROUP BY dt.doc_id, bits.bit_idx
+        """,
+        "emb_cosine_topk": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS vec,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+                FROM embeddings
+            ), pairs AS (
+                SELECT q.vec_id AS query_id, o.vec_id AS neighbor_id,
+                       list_dot_product(q.vec, o.vec) / (q.nrm * o.nrm) AS sim
+                FROM n q JOIN n o ON o.vec_id <> q.vec_id
+                WHERE q.vec_id < 8
+            )
+            SELECT query_id, neighbor_id, rnk, round(sim, 4) AS sim_r4 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id)::BIGINT AS rnk
+                FROM pairs
+            ) WHERE rnk <= 3
+        """,
+        "emb_bucket_hist": """
+            SELECT bucket, COUNT(*)::BIGINT AS n_vecs FROM (
+                SELECT CAST(list_sum(list_transform(generate_series(0, 7),
+                            d -> CASE WHEN embedding[d + 1] > 0
+                                      THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                FROM embeddings
+            ) GROUP BY bucket
+        """,
+        "emb_lsh_topk": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS vec,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+                       CAST(list_sum(list_transform(generate_series(0, 7),
+                            d -> CASE WHEN embedding[d + 1] > 0
+                                      THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                FROM embeddings
+            ), pairs AS (
+                SELECT q.vec_id AS query_id, o.vec_id AS neighbor_id,
+                       list_dot_product(q.vec, o.vec) / (q.nrm * o.nrm) AS sim
+                FROM n q JOIN n o ON q.bucket = o.bucket AND o.vec_id <> q.vec_id
+                WHERE q.vec_id < 8
+            )
+            SELECT query_id, neighbor_id, rnk, round(sim, 4) AS sim_r4 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id)::BIGINT AS rnk
+                FROM pairs
+            ) WHERE rnk <= 3
+        """,
+    }

@@ -1,0 +1,219 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md), packaged so the
+pipeline, ``__spark_entry__`` and ``bench.py`` can synthesize inputs without
+external data.
+
+Media pages are rendered by pasting tight-ink glyph crops from the packaged
+Java-gray arial sheet (``ocr_spark/data/arial.gray.png``) — the same pixels
+the classifier learns from, so recognition truth is known by construction
+(reference grid layout: CurvatureClassifier.java:56-66). Text spans wrap one
+known main-content sentence in nav/footer/link-list boilerplate the stripper
+provably removes.
+
+No wall-clock, no ``random`` module: a fixed-seed ``numpy.default_rng`` makes
+every corpus a pure function of (n_docs, n_pages, skew, seed).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .kernel.bitmap import black_mask
+from .kernel.classify import DEFAULT_ALPHABET
+from .png import decode_gray, encode_gray
+
+SEED = 1337
+
+# validated: each word round-trips render -> segment -> classify exactly
+# (glyphs i j l m w W X 0 and thin punctuation excluded — the reference
+# engine itself misreads them, e.g. 'm' -> 'rn', '0' -> 'o')
+WORDLIST = [
+    "Data", "Spark", "Query", "scan", "sort", "hash", "batch", "group",
+    "key", "fast", "query", "part", "order", "Extract", "pages", "spans",
+    "rotate", "curve", "zone", "After", "Crops", "shard", "bucket", "vector",
+    "18", "code", "Test", "Range", "FAST", "SCAN", "KEY", "1234", "567",
+    "89", "quartz", "Turbo", "neptune", "Zebra",
+]
+
+MARGIN = 12
+GLYPH_GAP = 3
+WORD_GAP = 20
+CHAR_SPACING = 8.0  # engine setting paired with these gaps
+
+SCALES = {
+    "tiny": dict(n_docs=100, n_pages=60),
+    "small": dict(n_docs=10_000, n_pages=2_000),
+    "bench": dict(n_docs=40_000, n_pages=6_000),
+}
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def load_glyphs():
+    with open(os.path.join(_DATA_DIR, "arial.gray.png"), "rb") as f:
+        sheet = decode_gray(f.read())
+    mask = black_mask(sheet)
+    glyphs = {}
+    for gy in range(6):
+        for gx in range(13):
+            bx, by, bw, bh = 71 * gx + 1, 69 * gy + 1, 69, 67
+            ch = DEFAULT_ALPHABET[13 * gy + gx]
+            sub = mask[by : by + bh, bx : bx + bw]
+            if not sub.any():
+                continue
+            ys, xs = np.nonzero(sub)
+            crop = sheet[by + ys.min() : by + ys.max() + 1, bx + xs.min() : bx + xs.max() + 1]
+            glyphs.setdefault(ch, crop)
+    return glyphs
+
+
+def render_page(words: list[str], glyphs) -> np.ndarray:
+    h = max(max(glyphs[c].shape[0] for c in w) for w in words)
+    w_tot = (
+        sum(sum(glyphs[c].shape[1] for c in w) + GLYPH_GAP * (len(w) - 1) for w in words)
+        + WORD_GAP * (len(words) - 1)
+    )
+    page = np.full((h + 2 * MARGIN, w_tot + 2 * MARGIN), 255, dtype=np.uint8)
+    x = MARGIN
+    for w in words:
+        for c in w:
+            g = glyphs[c]
+            page[MARGIN : MARGIN + g.shape[0], x : x + g.shape[1]] = g
+            x += g.shape[1] + GLYPH_GAP
+        x += WORD_GAP - GLYPH_GAP
+    return page
+
+
+def make_html(rng, sentence: str) -> str:
+    """Boilerplate-wrapped main content; the stripper recovers `sentence`."""
+    nav_links = " ".join(
+        f'<a href="/{w}">{w}</a>' for w in rng.choice(WORDLIST, size=4)
+    )
+    link_list = "".join(
+        f'<li><a href="/p/{i}">{rng.choice(WORDLIST)}</a></li>' for i in range(rng.integers(2, 6))
+    )
+    footer_words = " ".join(rng.choice(WORDLIST, size=2))
+    return (
+        "<html><head><title>page</title><style>body{margin:0}</style></head><body>"
+        f"<nav>{nav_links}</nav>"
+        f'<div class="sidebar"><ul>{link_list}</ul></div>'
+        f"<p>{sentence}</p>"
+        f"<div><a href=\"/more\">read even more related items</a></div>"
+        f"<footer>{footer_words}</footer>"
+        "</body></html>"
+    )
+
+
+def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
+    """Return (documents, media, expected_spans) pyarrow tables."""
+    rng = np.random.default_rng(seed)
+    glyphs = load_glyphs()
+
+    # --- media pool -----------------------------------------------------
+    media_refs, widths, heights, pngs, truths = [], [], [], [], []
+    for p in range(n_pages):
+        n_words = int(rng.integers(1, 5))
+        words = [str(w) for w in rng.choice(WORDLIST, size=n_words)]
+        page = render_page(words, glyphs)
+        media_refs.append(f"pg-{p:06d}")
+        heights.append(page.shape[0])
+        widths.append(page.shape[1])
+        pngs.append(encode_gray(page))
+        truths.append(" ".join(words))
+
+    # --- documents + expected spans -------------------------------------
+    doc_ids, spans_col = [], []
+    exp_doc, exp_ord, exp_kind, exp_text, exp_ref = [], [], [], [], []
+
+    def add_doc(doc_id: str, n_spans: int, media_p: float):
+        spans = []
+        offset = 0
+        for ord_ in range(n_spans):
+            if rng.random() < media_p:
+                pi = int(rng.integers(0, n_pages))
+                ref = media_refs[pi]
+                spans.append(
+                    {"kind": "media", "text": None, "media_ref": ref, "offset": offset}
+                )
+                offset += 64
+                exp_doc.append(doc_id)
+                exp_ord.append(ord_)
+                exp_kind.append("media")
+                exp_text.append(truths[pi])
+                exp_ref.append(ref)
+            else:
+                n_words = int(rng.integers(3, 9))
+                sentence = " ".join(str(w) for w in rng.choice(WORDLIST, size=n_words))
+                html = make_html(rng, sentence)
+                spans.append(
+                    {"kind": "text", "text": html, "media_ref": None, "offset": offset}
+                )
+                offset += len(html)
+                exp_doc.append(doc_id)
+                exp_ord.append(ord_)
+                exp_kind.append("text")
+                exp_text.append(sentence)
+                exp_ref.append(None)
+        doc_ids.append(doc_id)
+        spans_col.append(spans)
+
+    for d in range(n_docs):
+        add_doc(f"doc-{d:08d}", int(rng.integers(1, 13)), 0.25)
+    if skew:
+        for k in range(3):
+            add_doc(f"doc-hot-{k:04d}", int(rng.integers(500, 1001)), 1.0)
+
+    span_type = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    documents = pa.table(
+        {"doc_id": pa.array(doc_ids), "spans": pa.array(spans_col, type=pa.list_(span_type))}
+    )
+    media = pa.table(
+        {
+            "media_ref": media_refs,
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "png": pa.array(pngs, pa.binary()),
+            "truth": truths,
+        }
+    )
+    expected = pa.table(
+        {
+            "doc_id": exp_doc,
+            "ord": pa.array(exp_ord, pa.int32()),
+            "kind": exp_kind,
+            "text": exp_text,
+            "media_ref": exp_ref,
+        }
+    )
+    return documents, media, expected
+
+
+def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
+    documents, media, expected = synthesize(n_docs, n_pages, skew=skew, seed=seed)
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(documents, os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(media, os.path.join(out_dir, "media.parquet"))
+    pq.write_table(expected, os.path.join(out_dir, "expected_spans.parquet"))
+    return documents.num_rows, media.num_rows, expected.num_rows
+
+
+def ensure_corpus(out_dir: str, scale: str = "tiny", skew: bool = False, seed: int = SEED) -> str:
+    """Idempotently materialize a named-scale corpus; safe to call from
+    entry()/bench.py. A `_DONE` marker commits the directory (write is not
+    atomic, so a half-written dir without the marker is regenerated)."""
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus(out_dir, skew=skew, seed=seed, **SCALES[scale])
+        with open(marker, "w") as f:
+            f.write(f"{scale} skew={skew} seed={seed}\n")
+    return out_dir

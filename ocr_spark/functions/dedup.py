@@ -1,0 +1,161 @@
+"""Deduplication operators for training-data pipelines: exact hash dedup,
+MinHash + LSH banding, n-gram Jaccard, SimHash.
+
+Design for 100 TB:
+  * All hashing is md5 via JVM built-ins (whole-stage codegen); no Python.
+  * Shingling explodes to (doc_id, shingle) — one shuffle per groupBy,
+    map-side partial aggregation handled by Catalyst hash-agg.
+  * LSH candidate pairs come from an equi-join on (band, minhash) — a plain
+    shuffle-hash/sort-merge join on a high-cardinality key, so it scales
+    without cartesian products; Jaccard is then computed only on docs that
+    share at least one shingle (equi-join on shingle), never all-pairs.
+  * SimHash computes the 64 bit-columns on the *vocabulary* (distinct
+    tokens) and joins back — at web scale vocabulary << corpus, so the
+    expensive bit decomposition runs once per distinct token.
+
+Every operator has a DuckDB oracle twin in ``__spark_entry__`` using the
+same md5/token conventions (see functions/text.py header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: md5 of raw text, groups with >1 member.
+    At scale: one hash-agg shuffle on a uniformly distributed key."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def shingles(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-k-gram shingles per doc: (doc_id, shingle).
+
+    Guard: docs with fewer than k tokens produce no shingles (sequence()
+    would otherwise generate a *descending* range in Spark).
+    """
+    parts = ", ".join(f"_toks[i - 1 + {j}]" for j in range(k))
+    shingle_expr = (
+        f"CASE WHEN size(_toks) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {k - 1}), i -> concat_ws(' ', {parts})) END"
+    )
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(F.expr(shingle_expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, bands: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per (doc, band): min over shingles of
+    md5(band || '|' || shingle). One band per independent hash function —
+    band size 1, so each band IS an LSH bucket key (collision prob = Jaccard).
+    Output: (doc_id, band, minhash)."""
+    banded = sh.select(
+        F.col(id_col),
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
+        F.col("shingle"),
+    )
+    return (
+        banded.select(
+            F.col(id_col),
+            F.col("band").cast("long").alias("band"),
+            F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "band")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
+    Equi-join on the bucket key — no cartesian product; skew-resistant
+    because md5 buckets are uniform. Output: (doc_a, doc_b) distinct."""
+    a = sig.select(F.col(id_col).alias("doc_a"), "band", "minhash")
+    b = sig.select(F.col(id_col).alias("doc_b"), "band", "minhash")
+    return (
+        a.join(b, ["band", "minhash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, min_common: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """n-gram Jaccard similarity for every doc pair sharing >= min_common
+    shingles. The shingle equi-join only materializes co-occurring pairs;
+    per-doc set sizes are broadcast back via two cheap aggregations.
+    Output: (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash, emitted long-form as (doc_id, bit_idx, bit).
+
+    Token hash bits come from the first 16 hex chars of md5(token): bit j is
+    bit (3 - j%4) of hex digit j//4. Per-doc bit j = 1 iff the token-count
+    weighted sum of (2*bit - 1) is > 0. The bit table is computed on the
+    distinct-token vocabulary and joined back (vocab << corpus at scale).
+    """
+    doc_tokens = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    vocab_bits = (
+        doc_tokens.select("token")
+        .distinct()
+        .select(
+            "token",
+            F.explode(F.expr("sequence(0, 63)")).alias("bit_idx"),
+        )
+        .withColumn(
+            "digit",
+            F.expr("instr('0123456789abcdef', substring(md5(token), CAST(bit_idx / 4 AS INT) + 1, 1)) - 1"),
+        )
+        .withColumn("contrib", F.expr("2 * (shiftright(digit, 3 - bit_idx % 4) % 2) - 1"))
+        .select("token", F.col("bit_idx").cast("long").alias("bit_idx"), "contrib")
+    )
+    return (
+        doc_tokens.join(vocab_bits, "token")
+        .groupBy(id_col, "bit_idx")
+        .agg(F.sum(F.col("cnt") * F.col("contrib")).alias("s"))
+        .select(
+            F.col(id_col),
+            "bit_idx",
+            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("bit"),
+        )
+    )

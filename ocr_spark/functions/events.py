@@ -1,0 +1,67 @@
+"""Event-stream analytics over the batch `events` table: tumbling-window
+aggregation, gap-based sessionization, top-k users.
+
+All operators are pure DataFrame/window expressions (no UDFs). Gap math is
+done in epoch microseconds (exact integers) so the session boundaries are
+bit-deterministic and identical to the SQL oracle. Money-ish sums are
+computed in DECIMAL then cast to DOUBLE — exact, order-independent.
+
+At scale: sessionization shuffles once on user_id (the window partition
+key); tumbling windows are a single hash-agg with map-side partials. For a
+live stream the same logic runs under Structured Streaming with
+``session_window``/``window`` + watermark; this module is the batch shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def tumbling_hourly(df: DataFrame) -> DataFrame:
+    """Events per (hour bucket, event_type) with exact value sums."""
+    return (
+        df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+def sessionize(df: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to the
+    previous event exceeds ``gap_us``. Output one row per session."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # parquet timestamps surface as TIMESTAMP_NTZ; cast with session tz
+    # pinned to UTC so epoch micros equal the oracle's naive epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    with_sess = df.withColumn("_new", is_new).withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def top_users(df: DataFrame, k: int = 5) -> DataFrame:
+    """Users ranked by event count; dense_rank keeps ties deterministic."""
+    counts = df.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("user_id", "n_events", "rnk")
+    )

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+What is real here (tested): the Spark-side contract — schemas, batch
+iteration, per-batch NumPy vectorization, deterministic outputs — plus a
+*real* 8-bit grayscale PNG decoder (ocr_spark.png, stdlib zlib) used by the
+image path, the same codec the OCR pipeline uses.
+
+What is stubbed (this container ships no imaging/audio libs): decoding of
+non-PNG images, audio PCM decode, and video frame extraction raise
+``NotImplementedError`` unless ``deterministic_fake=True``, which derives a
+fixed pseudo-signal from md5(payload) so pipelines remain testable
+end-to-end without the codec.
+
+Skew note for 100 TB: media blobs dominate row size, so callers should cap
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (the pipeline default is
+1024, see pipeline/job.configure) and repartition on the media key before
+mapInPandas — identical to the OCR path's salting.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+from ..kernel.bitmap import black_mask
+from ..png import decode_gray
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ink_ratio", T.DoubleType()),
+        T.StructField("n_ink_rows", T.LongType()),
+    ]
+)
+
+FRAME_SAMPLE = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("feature", T.DoubleType()),
+    ]
+)
+
+
+def _decode_image(blob: bytes) -> np.ndarray:
+    """PNG-gray is decoded for real; other formats need a codec this
+    container doesn't ship."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_gray(bytes(blob))
+    raise NotImplementedError(
+        "non-PNG image decode requires an imaging library (PIL/cv2) not "
+        "shipped in this container; gate behind deterministic_fake for tests"
+    )
+
+
+def image_features(df: DataFrame, ref_col: str = "media_ref", blob_col: str = "png") -> DataFrame:
+    """Decode + feature-extract a binary image column per Arrow batch.
+    Output: (media_ref, width, height, ink_ratio, n_ink_rows)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, ws, hs, ratios, rows = [], [], [], [], []
+            for ref, blob in zip(pdf[ref_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                img = _decode_image(blob)
+                mask = black_mask(img)
+                refs.append(ref)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                ratios.append(round(float(mask.mean()), 6))
+                rows.append(int(mask.any(axis=1).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "ink_ratio": pd.Series(ratios, dtype="float64"),
+                    "n_ink_rows": pd.Series(rows, dtype="int64"),
+                }
+            )
+
+    return df.select(ref_col, blob_col).mapInPandas(kernel, IMAGE_FEATURES)
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    ref_col: str = "media_ref",
+    blob_col: str = "payload",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Video frame-sampling plumbing: emits ``n_frames`` rows per blob with a
+    per-frame scalar feature. Real decode is stubbed (no codec in container);
+    with ``deterministic_fake`` the feature is derived from md5(payload) so
+    the batch shape, explode factor and partitioning are fully exercised."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, feats = [], [], []
+            for ref, blob in zip(pdf[ref_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "video decode requires ffmpeg/av, not shipped here"
+                    )
+                digest = hashlib.md5(bytes(blob)).digest()
+                for i in range(n_frames):
+                    refs.append(ref)
+                    idxs.append(i)
+                    feats.append(digest[i % 16] / 255.0)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "feature": pd.Series(feats, dtype="float64"),
+                }
+            )
+
+    return df.select(ref_col, blob_col).mapInPandas(kernel, FRAME_SAMPLE)

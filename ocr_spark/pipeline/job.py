@@ -43,7 +43,10 @@ def configure(builder_or_spark, shuffle_partitions: int | None = None):
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if isinstance(builder_or_spark, SparkSession):
         for k, v in conf.items():
-            builder_or_spark.conf.set(k, v)
+            try:
+                builder_or_spark.conf.set(k, v)
+            except Exception:
+                pass  # static conf (e.g. spark.serializer) on a live session
         return builder_or_spark
     for k, v in conf.items():
         builder_or_spark = builder_or_spark.config(k, v)
