@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extract_docs_per_sec": ...}
+
+Each query is forced end-to-end with a noop write (materializes every
+column, unlike count()). The flagship extraction pipeline is benched on a
+deterministic synthesized interleaved corpus (generation excluded from the
+timing; cached under /tmp) and reported as docs/sec alongside the per-query
+seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXTRACT_DOCS = int(os.environ.get("OCR_SPARK_BENCH_DOCS", "4000"))
+EXTRACT_PAGES = int(os.environ.get("OCR_SPARK_BENCH_PAGES", "800"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "q5_nation_volume",
+    "brand_volume",
+    "events_hourly",
+    "events_sessionize",
+    "doc_quality",
+    "doc_fingerprints",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard",
+    "simhash_bits",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+]
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from ocr_spark.fixtures import write_corpus
+    from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media
+
+    builder = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ocr_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("OCR_SPARK_DRIVER_MEM", "24g"))
+    )
+    spark = configure(builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    qmap = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qmap[name](spark, SF_DIR))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship extraction throughput (corpus cached; synth excluded from timing)
+    corpus = os.path.join(
+        os.environ.get("OCR_SPARK_FIXTURES", "/tmp/ocr_spark_fixtures"),
+        f"bench_{EXTRACT_DOCS}x{EXTRACT_PAGES}",
+    )
+    marker = os.path.join(corpus, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus(corpus, n_docs=EXTRACT_DOCS, n_pages=EXTRACT_PAGES)
+        with open(marker, "w") as f:
+            f.write("bench corpus\n")
+    docs = read_documents(spark, corpus)
+    media = read_media(spark, corpus)
+    t0 = time.perf_counter()
+    _force(extract_spans(docs, media, character_spacing=8.0))
+    extract_s = time.perf_counter() - t0
+    times["extract_spans"] = round(extract_s, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"headline query wall seconds at {SF_DIR} on local[{CPUS}]",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "extract_docs": EXTRACT_DOCS,
+                "extract_docs_per_sec": round(EXTRACT_DOCS / extract_s, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

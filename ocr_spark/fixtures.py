@@ -201,8 +201,10 @@ def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
 def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
     documents, media, expected = synthesize(n_docs, n_pages, skew=skew, seed=seed)
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(documents, os.path.join(out_dir, "documents.parquet"))
-    pq.write_table(media, os.path.join(out_dir, "media.parquet"))
+    # small row groups: a parquet file is only splittable at row-group
+    # boundaries, so a single default-sized group would force a serial scan
+    pq.write_table(documents, os.path.join(out_dir, "documents.parquet"), row_group_size=1024)
+    pq.write_table(media, os.path.join(out_dir, "media.parquet"), row_group_size=512)
     pq.write_table(expected, os.path.join(out_dir, "expected_spans.parquet"))
     return documents.num_rows, media.num_rows, expected.num_rows
 

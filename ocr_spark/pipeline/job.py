@@ -38,6 +38,11 @@ def configure(builder_or_spark, shuffle_partitions: int | None = None):
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        # single-node/local: never trade a task slot for locality
+        "spark.locality.wait": "0s",
+        # interleaved-doc rows are wide (HTML + media blobs): 16 MB splits
+        # keep the scan wide enough to feed every core even from few files
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     }
     if shuffle_partitions:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
@@ -69,8 +74,27 @@ def extract_spans(
     media: DataFrame,
     character_spacing: float = 8.0,
     salt: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
-    """Logical plan for one slice of documents -> output span rows."""
+    """Logical plan for one slice of documents -> output span rows.
+
+    ``partitions`` sizes the pre-UDF salt shuffle. It is passed as an
+    EXPLICIT repartition width (default 2x defaultParallelism) because the
+    UDF stages are CPU-bound, not byte-bound: AQE's coalescing targets
+    partition *bytes* and would happily fuse thousands of cheap-looking
+    KB-sized PNG rows into one partition, serializing the OCR kernel on a
+    single core. An explicit width is exempt from AQE coalescing.
+    """
+    if salt and partitions is None:
+        partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+    if salt:
+        # a single large parquet file scans as 1-2 tasks; spread the docs
+        # across the cluster BEFORE the explode so span generation, the
+        # stripper and the join probe all run at full width. At real scale
+        # the input is thousands of files and the scan is already wide, so
+        # only repartition when the scan is narrower than the target.
+        if docs.rdd.getNumPartitions() < partitions // 2:
+            docs = docs.repartition(partitions, "doc_id")
     exploded = docs.select(
         "doc_id", F.posexplode("spans").alias("ord", "span")
     ).select(
@@ -81,6 +105,9 @@ def extract_spans(
         F.col("span.media_ref").alias("media_ref"),
     )
 
+    # text spans inherit the per-doc distribution from the scan repartition
+    # (strip cost is roughly uniform per doc — no extra shuffle needed; only
+    # the media branch needs span-level salting, its cost class is ~100x)
     strip_udf = make_strip_udf()
     text_out = (
         exploded.where(F.col("kind") == "text")
@@ -97,14 +124,36 @@ def extract_spans(
     media_rows = exploded.where(F.col("kind") == "media").select(
         "doc_id", "ord", "kind", "media_ref"
     )
-    joined = media_rows.join(media, "media_ref", "left")
+    # OCR per DISTINCT media_ref, not per span occurrence: duplicated media
+    # (hot images referenced by many docs) is recognized exactly once and
+    # the text joined back — the kernel cost scales with |distinct media|,
+    # and a hot media_ref can no longer skew the expensive stage at all.
+    needed_refs = media_rows.select("media_ref").distinct()
+    pages = media.join(needed_refs, "media_ref")
     if salt:
-        # spread a media-heavy document across the cluster before the
-        # expensive kernel; without this, all spans of one hot doc (or one
-        # hot media_ref) land in a single post-join partition
-        joined = joined.repartition("doc_id", "ord")
+        # spread the kernel uniformly over an explicit-width shuffle keyed
+        # by a SALT column, not by media_ref: an exchange on the join key
+        # itself gets eliminated as redundant once the join-back requires
+        # the same partitioning, silently dropping the kernel onto whatever
+        # (often 1-partition, AQE-coalesced) distribution the semi-join
+        # produced. A salt key is never redundant and never byte-coalesced,
+        # so the CPU-bound stage keeps its width no matter what the
+        # byte-based planner thinks of these "small" rows.
+        pages = pages.withColumn(
+            "_salt", F.pmod(F.crc32(F.col("media_ref")), F.lit(partitions))
+        ).repartition(partitions, "_salt")
     ocr_udf = make_ocr_udf(character_spacing=character_spacing)
-    media_out = joined.withColumn("out_text", ocr_udf(F.col("png"))).select(
+    recognized = pages.select(
+        "media_ref", ocr_udf(F.col("png")).alias("out_text")
+    )
+    # join-back MUST be a shuffle join, not broadcast: AQE would otherwise
+    # build `recognized` as a broadcast stage whose shuffle is taken with a
+    # LOCAL read (one task per mapper) — with a narrow media scan that
+    # collapses the whole OCR UDF onto one core. At 10^12 rows the OCR
+    # output is never broadcastable anyway; SHUFFLE_HASH keeps the kernel
+    # above a real 'partitions'-wide shuffle read and reuses the media_ref
+    # partitioning for the probe.
+    media_out = media_rows.join(recognized.hint("SHUFFLE_HASH"), "media_ref", "left").select(
         "doc_id",
         "ord",
         "kind",
@@ -117,6 +166,11 @@ def extract_spans(
 
 def _read_committed(spark: SparkSession, manifest_dir: str) -> set[int]:
     try:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(manifest_dir)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return set()
         m = spark.read.schema(MANIFEST).parquet(manifest_dir)
         return {
             r.partition_id
@@ -127,6 +181,14 @@ def _read_committed(spark: SparkSession, manifest_dir: str) -> set[int]:
         }
     except Exception:
         return set()
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Delete a path through the Hadoop FS API (works for any scheme)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def extract(
@@ -140,57 +202,121 @@ def extract(
     salt: bool = True,
     fail_after: int | None = None,  # test hook: die after K bucket commits
 ) -> dict:
-    """Run the full job with bucketed idempotent commits. Returns metrics."""
+    """Run the full job with bucketed idempotent commits. Returns metrics.
+
+    All pending (uncommitted) buckets are processed in one *wave*: a single
+    partitioned write (`spans/bucket=K`, dynamic partition overwrite) plus a
+    single per-bucket stats pass and one manifest write — so job-scheduling
+    overhead is amortized across buckets instead of paying write+agg+commit
+    per bucket (which capped scaling efficiency at small inputs). The commit
+    unit is unchanged: a bucket counts as committed only once its manifest
+    row lands, and a rerun rewrites any bucket without one.
+
+    ``fail_after=K`` shrinks the wave to K buckets and raises after the
+    first wave — the resume-test hook.
+    """
+    import os as _os
+
+    trace = _os.environ.get("OCR_SPARK_TIMING") == "1"
+    marks = [("start", time.perf_counter())]
+
+    def mark(name):
+        if trace:
+            marks.append((name, time.perf_counter()))
+
     docs = read_documents(spark, input_dir)
     media = read_media(spark, input_dir)
     manifest_dir = f"{output_dir}/_manifest"
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     committed = _read_committed(spark, manifest_dir) if resume else set()
+    mark("read_committed")
+    pending = [b for b in range(buckets) if b not in committed]
     metrics = {"buckets_total": buckets, "buckets_skipped": len(committed), "spans": 0}
 
     done = 0
-    for b in range(buckets):
-        if b in committed:
-            continue
-        subset = docs.where(F.crc32(F.col("doc_id")) % buckets == b)
-        out = extract_spans(subset, media, character_spacing, salt=salt).persist()
-        out.write.mode("overwrite").parquet(f"{output_dir}/spans/bucket={b}")
+    while pending:
+        wave = pending[:fail_after] if fail_after is not None else pending
+        pending = pending[len(wave):]
 
-        agg = out.agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.count(F.lit(1)).alias("spans"),
-            F.sum((F.col("kind") == "media").cast("long")).alias("media"),
-            F.sum(
-                F.crc32(
-                    F.concat_ws(
-                        "\x1f", "doc_id", F.col("ord").cast("string"), F.coalesce("text", F.lit(""))
-                    )
-                )
-            ).alias("chk"),
-        ).collect()[0]
-        out.unpersist()
-
-        row = [
-            (
-                run_id,
-                b,
-                int(agg["docs"] or 0),
-                int(agg["spans"] or 0),
-                int(agg["media"] or 0),
-                str(agg["chk"] or 0),
-                time.strftime("%Y-%m-%dT%H:%M:%S"),
-                "committed",
-            )
-        ]
-        spark.createDataFrame(row, MANIFEST).coalesce(1).write.mode("overwrite").parquet(
-            f"{manifest_dir}/bucket={b}"
+        bucket_of = F.crc32(F.col("doc_id")) % buckets
+        subset = docs.where(bucket_of.isin(wave))
+        # one shuffle collapses the tiny output rows to one file per bucket
+        # BEFORE the committer: a partitionBy write from W wide partitions
+        # creates W x |wave| files whose dynamic-overwrite commit is
+        # driver-serial — file count, not data size, was the scaling ceiling
+        out = (
+            extract_spans(subset, media, character_spacing, salt=salt)
+            .withColumn("bucket", (F.crc32(F.col("doc_id")) % buckets).cast("int"))
+            .repartition(max(4 * len(wave), 1), "bucket", "doc_id")
+            .persist()
         )
-        metrics["spans"] += int(agg["spans"] or 0)
-        done += 1
+        mark("plan")
+        # dynamic overwrite only replaces partitions present in the new data;
+        # clear stale half-written dirs for wave buckets that may end empty
+        for b in wave:
+            _hadoop_delete(spark, f"{output_dir}/spans/bucket={b}")
+        mark("delete")
+        out.write.mode("overwrite").partitionBy("bucket").parquet(f"{output_dir}/spans")
+        mark("write")
+
+        stats = {
+            int(r["bucket"]): r
+            for r in out.groupBy("bucket")
+            .agg(
+                F.countDistinct("doc_id").alias("docs"),
+                F.count(F.lit(1)).alias("spans"),
+                F.sum((F.col("kind") == "media").cast("long")).alias("media"),
+                F.sum(
+                    F.crc32(
+                        F.concat_ws(
+                            "\x1f",
+                            "doc_id",
+                            F.col("ord").cast("string"),
+                            F.coalesce("text", F.lit("")),
+                        )
+                    )
+                ).alias("chk"),
+            )
+            .collect()
+        }
+        out.unpersist()
+        mark("stats")
+
+        now = time.strftime("%Y-%m-%dT%H:%M:%S")
+        values = []
+        for b in wave:
+            r = stats.get(b)
+            docs_n = int(r["docs"]) if r else 0
+            spans_n = int(r["spans"]) if r else 0
+            media_n = int(r["media"]) if r else 0
+            chk = str(r["chk"]) if r else "0"
+            values.append(
+                f"('{run_id}', {b}, CAST({docs_n} AS BIGINT), CAST({spans_n} AS BIGINT), "
+                f"CAST({media_n} AS BIGINT), '{chk}', '{now}', 'committed')"
+            )
+            metrics["spans"] += spans_n
+        # append-only commit log: one small file per wave, no partition
+        # dirs, no dynamic-overwrite listing — a re-committed bucket would
+        # just add a row, and _read_committed de-duplicates. Built as a SQL
+        # VALUES literal (JVM LocalRelation): a python-list DataFrame would
+        # spin up a Python runner for an 8-row write.
+        manifest_df = spark.sql(
+            "SELECT * FROM VALUES "
+            + ", ".join(values)
+            + " AS t(run_id, partition_id, doc_count, span_count, media_count,"
+            "        checksum, committed_at, status)"
+        )
+        manifest_df.coalesce(1).write.mode("append").parquet(manifest_dir)
+        mark("manifest")
+        done += len(wave)
         if fail_after is not None and done >= fail_after:
             raise RuntimeError(f"injected failure after {done} buckets")
 
     metrics["buckets_done"] = done
+    if trace:
+        for (_, t0), (name, t1) in zip(marks, marks[1:]):
+            print(f"TIMING {name} {t1 - t0:.2f}")
     return metrics
 
 

@@ -23,11 +23,52 @@ _DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file_
 
 @functools.lru_cache(maxsize=1)
 def default_alphabet() -> Alphabet:
-    """Learn the bundled arial sheet once per process (driver or worker)."""
+    """Learn the bundled arial sheet once per process (driver or worker),
+    with a /tmp feature cache so repeat processes skip the ~1 s learn."""
+    import hashlib
+
+    import numpy as np
+
     from ..png import decode_gray
 
     with open(os.path.join(_DATA_DIR, "arial.gray.png"), "rb") as f:
-        return Alphabet().learn_sheet(decode_gray(f.read()), "arial")
+        raw = f.read()
+    cache = os.path.join(
+        "/tmp", f"ocr_spark_alpha_{hashlib.sha1(raw).hexdigest()[:16]}.npz"
+    )
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache, allow_pickle=False)
+            d = {
+                "n": int(z["n"]),
+                "chars": [c for c in z["chars"]],
+                "def_chars": [c for c in z["def_chars"]],
+                "fonts": [c for c in z["fonts"]],
+                "vectors": z["vectors"],
+                "contours": z["contours"],
+                "closest": z["closest"],
+            }
+            return Alphabet.from_dict(d)
+        except Exception:
+            pass
+    alpha = Alphabet().learn_sheet(decode_gray(raw), "arial")
+    try:
+        d = alpha.to_dict()
+        tmp = cache + f".{os.getpid()}.tmp"
+        np.savez(
+            tmp,
+            n=d["n"],
+            chars=np.array(d["chars"]),
+            def_chars=np.array(d["def_chars"]),
+            fonts=np.array(d["fonts"]),
+            vectors=d["vectors"],
+            contours=d["contours"],
+            closest=d["closest"],
+        )
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, cache)
+    except Exception:
+        pass
+    return alpha
 
 
 def make_strip_udf(min_words: int = 3, max_link_density: float = 0.5):
