@@ -121,6 +121,103 @@ def find_hor_line(mask: np.ndarray, x: int, y: int, deviation: int, max_errors: 
     return ex, ey
 
 
+def find_ver_line(mask: np.ndarray, x: int, y: int, deviation: int, max_errors: int):
+    """P4 gap-tolerant vertical line trace (Bitmap.findVerLine, :304-338).
+
+    The reference declares a cumulative-deviation cutoff but never updates
+    the `deviation` counter, so the |deviation| <= max test is always true —
+    replicated by simply omitting it."""
+    H, W = mask.shape
+    ex, ey = x, y
+    error = 0
+    while error < max_errors and y < H:
+        error += 1
+        for i in range(1, 2 + 2 * deviation):
+            ix = x + (i // 2 if (i & 1) == 0 else -(i // 2))
+            if 0 <= ix < W and mask[y, ix]:
+                ex, ey = ix, y
+                error = 0
+                if ix < x:
+                    x -= 1
+                elif ix > x:
+                    x += 1
+                break
+        y += 1
+    return ex, ey
+
+
+def _draw_line_white(gray: np.ndarray, x0: int, y0: int, x1: int, y1: int):
+    """Graphics2D.drawLine(x0,y0,x1,y1) in WHITE on the byte raster.
+
+    OpenJDK's solid 1-px line loop (GeneralRenderer.doDrawLine): Bresenham
+    stepping along the major axis with `error >= 0` as the bump condition,
+    inclusive of both endpoints, always iterated from the first endpoint."""
+    H, W = gray.shape
+    dx, dy = x1 - x0, y1 - y0
+    ax, ay = abs(dx), abs(dy)
+    sx = 1 if dx >= 0 else -1
+    sy = 1 if dy >= 0 else -1
+    x, y = x0, y0
+    if ax >= ay:
+        err = -((ax + 1) >> 1)  # OpenJDK rounds the half-step UP (validated)
+        for _ in range(ax + 1):
+            if 0 <= x < W and 0 <= y < H:
+                gray[y, x] = 255
+            x += sx
+            err += ay
+            if err >= 0:
+                y += sy
+                err -= ax
+    else:
+        err = -((ay + 1) >> 1)
+        for _ in range(ay + 1):
+            if 0 <= x < W and 0 <= y < H:
+                gray[y, x] = 255
+            y += sy
+            err += ax
+            if err >= 0:
+                x += sx
+                err -= ay
+
+
+def erase_lines(gray: np.ndarray, min_inches: float, extra: int) -> np.ndarray:
+    """P11 ruling-line erasure (Bitmap.eraseLines, :433-497), in place.
+
+    Scan order, the mid-line skip (`x += (x1-x0)/2`), the (dev=2, err=3)
+    trace parameters and the +-extra smeared white drawLine all follow the
+    reference exactly (validated against erase_lines.gray.png golden)."""
+    mask = black_mask(gray)
+    H, W = gray.shape
+    min_len = min_inches * max(W, H) / 30.0 * 2.54
+    rects = []
+
+    for y in range(H):
+        x = 0
+        while x < W - min_len:
+            if mask[y, x] and mask[y, x + 1]:
+                px, py = find_hor_line(mask, x, y, 2, 3)
+                if px - x > min_len:
+                    rects.append((x, y, px - x, py - y))
+                    x += (px - x) // 2
+            x += 1
+
+    for x in range(W):
+        y = 0
+        while y < H - min_len:
+            if mask[y, x] and mask[y + 1, x]:
+                px, py = find_ver_line(mask, x, y, 2, 3)
+                if py - y > min_len:
+                    rects.append((x, y, px - x, py - y))
+                    y += (py - y) // 2
+            y += 1
+
+    for (rx, ry, rw, rh) in rects:
+        for oy in range(-extra, extra + 1):
+            for ox in range(-extra, extra + 1):
+                _draw_line_white(gray, rx + ox, ry + oy, rx + rw + ox, ry + rh + oy)
+    return gray
+
+
 def get_line_fill_factor_hor(mask, x1, x0, y0, y1, w, deviation):
     """Bitmap.getLineFillFactorHor (:392-425)."""
     H, W = mask.shape

@@ -139,8 +139,12 @@ def extract_spans(
         # produced. A salt key is never redundant and never byte-coalesced,
         # so the CPU-bound stage keeps its width no matter what the
         # byte-based planner thinks of these "small" rows.
+        # the salt stays FULL-cardinality (raw crc32, no % partitions): the
+        # shuffle hashes the salt again, and hashing only `partitions`
+        # distinct values into `partitions` buckets is balls-in-bins — some
+        # tasks get 3-4 salts, some none (measured: 3.4x straggler tasks)
         pages = pages.withColumn(
-            "_salt", F.pmod(F.crc32(F.col("media_ref")), F.lit(partitions))
+            "_salt", F.crc32(F.col("media_ref"))
         ).repartition(partitions, "_salt")
     ocr_udf = make_ocr_udf(character_spacing=character_spacing)
     recognized = pages.select(

@@ -79,9 +79,23 @@ def make_strip_udf(min_words: int = 3, max_link_density: float = 0.5):
     return strip_udf
 
 
-def make_ocr_udf(alphabet: Alphabet | None = None, character_spacing: float = 8.0):
+def make_ocr_udf(
+    alphabet: Alphabet | None = None,
+    character_spacing: float = 8.0,
+    deskew: bool = False,
+    erase_lines_min_inches: float | None = None,
+    lexicon: list[str] | None = None,
+    lexicon_max_errors: int = 0,
+    char_classes: str | None = None,
+):
     """OCR a batch of PNG blobs. The alphabet dict rides in the closure;
-    workers rebuild the Alphabet lazily and reuse it across batches."""
+    workers rebuild the Alphabet lazily and reuse it across batches.
+
+    Optional preprocessing/resolver config (all engine-level, per SURVEY
+    §2.2/§2.6): ``deskew`` (P6+P9), ``erase_lines_min_inches`` (P11),
+    ``lexicon``+``lexicon_max_errors`` (L1/L2 word filter: non-matching
+    words are dropped from the page text), ``char_classes`` (L3/L4 alphabet
+    subset, e.g. "0123456789" for numeric fields)."""
     alpha_dict = (alphabet or default_alphabet()).to_dict()
     state: dict = {}
 
@@ -90,19 +104,36 @@ def make_ocr_udf(alphabet: Alphabet | None = None, character_spacing: float = 8.
         import numpy as np  # noqa: F401  (worker-side import)
 
         from ..kernel.engine import recognize
+        from ..kernel.resolver import WordResolver, char_class_mask
         from ..kernel.segment import Settings
         from ..png import decode_gray
 
         if "alpha" not in state:
             state["alpha"] = Alphabet.from_dict(alpha_dict)
             state["settings"] = Settings(character_spacing=character_spacing)
+            state["accept"] = (
+                char_class_mask(state["alpha"].chars, char_classes)
+                if char_classes is not None
+                else None
+            )
+            state["accept_word"] = (
+                WordResolver(lexicon_max_errors, lexicon).accept_word if lexicon else None
+            )
         alpha = state["alpha"]
         settings = state["settings"]
 
         def one(blob):
             if blob is None:
                 return None
-            return recognize(decode_gray(bytes(blob)), settings, alpha)
+            return recognize(
+                decode_gray(bytes(blob)),
+                settings,
+                alpha,
+                deskew=deskew,
+                erase_lines_min_inches=erase_lines_min_inches,
+                accept_word=state["accept_word"],
+                accept=state["accept"],
+            )
 
         return png.map(one)
 

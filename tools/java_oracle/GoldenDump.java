@@ -40,6 +40,14 @@ public class GoldenDump
 			case "resize": dumpResizeProbes(args[1]); break;
 			case "resize2": dumpResize2(Integer.parseInt(args[1]), Integer.parseInt(args[2]), Integer.parseInt(args[3]), Integer.parseInt(args[4]), args[5]); break;
 			case "blit1": blit1(Integer.parseInt(args[1]), Integer.parseInt(args[2]), Integer.parseInt(args[3]), Integer.parseInt(args[4]), args[5], args[6]); break;
+			case "rotshear": rotShear(args[1], Double.parseDouble(args[2]), args[3]); break;
+			case "rotfixed": rotFixed(args[1], Integer.parseInt(args[2]), args[3]); break;
+			case "erase": erase(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
+			case "words": words(args[1], args[2]); break;
+			case "sobel": sobel(args[1], args[2]); break;
+			case "angle": angle(args[1], Integer.parseInt(args[2]), Integer.parseInt(args[3])); break;
+			case "rgb2gray": rgb2gray(args[1]); break;
+			case "sheardbg": shearDbg(args[1], Double.parseDouble(args[2]), args[3]); break;
 			default: throw new IllegalArgumentException(args[0]);
 		}
 	}
@@ -373,5 +381,172 @@ public class GoldenDump
 		}
 		w.println("]}");
 		w.close();
+	}
+
+	// P9: quality-1 three-shear rotation exactly as Bitmap.rotate would invoke it
+	// (ImageRotator.java:122-168 driver; bg 0xFFFFFFFF per Bitmap.java:105).
+	// Result is INT_RGB; canonicalized to gray through the Bitmap constructor.
+	static void rotShear(String in, double angleDeg, String out) throws Exception
+	{
+		Bitmap bmp = load(in);
+		BufferedImage rotated = ImageRotator.rotate(bmp.getImage(), angleDeg, 1, 0xFFFFFFFF);
+		ImageIO.write(new Bitmap(rotated).getImage(), "png", new File(out));
+	}
+
+	// P8: quadrant rotation via ImageRotator.rotate(90|180|270) (rotateFast path).
+	static void rotFixed(String in, int angleDeg, String out) throws Exception
+	{
+		Bitmap bmp = load(in);
+		BufferedImage rotated = ImageRotator.rotate(bmp.getImage(), angleDeg, 1, 0xFFFFFFFF);
+		ImageIO.write(new Bitmap(rotated).getImage(), "png", new File(out));
+	}
+
+	// P11: ruling-line erasure in place on the gray raster (Bitmap.java:433-497).
+	static void erase(String in, double minInches, int extra, String out) throws Exception
+	{
+		Bitmap bmp = load(in);
+		bmp.eraseLines(minInches, extra);
+		ImageIO.write(bmp.getImage(), "png", new File(out));
+	}
+
+	// P6: skew estimate (Bitmap.findAngle, private -> reflection).
+	static void angle(String in, int fromY, int toY) throws Exception
+	{
+		Bitmap bmp = load(in);
+		java.lang.reflect.Method m = Bitmap.class.getDeclaredMethod("findAngle", int.class, int.class);
+		m.setAccessible(true);
+		System.out.println(m.invoke(bmp, fromY, toY));
+	}
+
+	// L2: bounded fuzzy word match. Input TSV: template \t compare \t maxErrors \t caseSensitive
+	static void words(String inTsv, String out) throws Exception
+	{
+		java.util.List<String> lines = java.nio.file.Files.readAllLines(new File(inTsv).toPath());
+		PrintWriter w = new PrintWriter(out, "UTF-8");
+		w.println("[");
+		for (int i = 0; i < lines.size(); i++)
+		{
+			String[] p = lines.get(i).split("\t");
+			boolean ok = SimpleResolver.compareWords(p[0], p[1], Integer.parseInt(p[2]), Boolean.parseBoolean(p[3]));
+			w.println("{\"template\":\"" + esc(p[0]) + "\",\"compare\":\"" + esc(p[1])
+				+ "\",\"max_errors\":" + p[2] + ",\"case_sensitive\":" + p[3]
+				+ ",\"accept\":" + ok + "}" + (i < lines.size() - 1 ? "," : ""));
+		}
+		w.println("]");
+		w.close();
+	}
+
+	// Calibration probe: INT_RGB -> TYPE_BYTE_GRAY drawImage conversion (the
+	// Bitmap constructor path) over a 17-step RGB lattice + all equal-channel
+	// values, so the NumPy port can verify its formula on mixed channels too
+	// (three-shear leftover arithmetic can make channels diverge).
+	static void rgb2gray(String out) throws Exception
+	{
+		java.util.ArrayList<int[]> probes = new java.util.ArrayList<>();
+		for (int r = 0; r < 256; r += 17)
+			for (int g = 0; g < 256; g += 17)
+				for (int b = 0; b < 256; b += 17)
+					probes.add(new int[]{r, g, b});
+		for (int v = 0; v < 256; v++)
+			probes.add(new int[]{v, v, v});
+		BufferedImage src = new BufferedImage(probes.size(), 1, BufferedImage.TYPE_INT_RGB);
+		for (int i = 0; i < probes.size(); i++)
+		{
+			int[] p = probes.get(i);
+			src.setRGB(i, 0, (p[0] << 16) | (p[1] << 8) | p[2]);
+		}
+		byte[] gray = ((DataBufferByte)new Bitmap(src).getImage().getRaster().getDataBuffer()).getData();
+		PrintWriter w = new PrintWriter(out, "UTF-8");
+		w.print("[");
+		for (int i = 0; i < probes.size(); i++)
+		{
+			int[] p = probes.get(i);
+			w.print("[" + p[0] + "," + p[1] + "," + p[2] + "," + (255 & gray[i]) + "]");
+			if (i < probes.size() - 1) w.print(",");
+		}
+		w.println("]");
+		w.close();
+	}
+
+	// Debug: replicate the rotate45 driver (ImageRotator.java:275-370) via
+	// reflection and dump each stage's packed int buffer for stage-level
+	// comparison with the NumPy port. Not part of the committed goldens.
+	static void shearDbg(String in, double dAngle, String outDir) throws Exception
+	{
+		Bitmap bmp = load(in);
+		ImageRotatorBuffer src = new ImageRotatorBuffer(bmp.getImage());
+		int bg = 0xFFFFFFFF;
+
+		java.lang.reflect.Method hskew = ImageRotatorBuffer.class.getDeclaredMethod("horizontalSkew",
+			ImageRotatorBuffer.class, ImageRotatorBuffer.class, int.class, int.class, int.class, int.class);
+		java.lang.reflect.Method vskew = ImageRotatorBuffer.class.getDeclaredMethod("verticalSkew",
+			ImageRotatorBuffer.class, ImageRotatorBuffer.class, int.class, int.class, int.class, int.class);
+		hskew.setAccessible(true);
+		vskew.setAccessible(true);
+
+		double dRadAngle = Math.toRadians(dAngle);
+		double dSinE = Math.sin(dRadAngle);
+		double dTan = Math.tan(dRadAngle / 2);
+		int srcWidth = src.getWidth(), srcHeight = src.getHeight();
+
+		int width_1 = srcWidth + (int)((double)srcHeight * Math.abs(dTan) + 0.5);
+		int height_1 = srcHeight;
+		ImageRotatorBuffer dst1 = new ImageRotatorBuffer(width_1, height_1);
+		for (int u = 0; u < height_1; u++)
+		{
+			double dShear = (dTan >= 0) ? ((double)u + 0.5) * dTan : ((double)((int)u - height_1) + 0.5) * dTan;
+			int iShear = (int)dShear;
+			hskew.invoke(null, src, dst1, u, iShear, (int)(255 * (dShear - (double)iShear) + 1), bg);
+		}
+		dumpBuf(dst1, outDir + "/stage1.txt");
+
+		int width_2 = width_1;
+		int height_2 = (int)((double)srcWidth * Math.abs(dSinE) + (double)srcHeight * Math.cos(dRadAngle) + 0.5) + 1;
+		ImageRotatorBuffer dst2 = new ImageRotatorBuffer(width_2, height_2);
+		double dOffset = (dSinE > 0) ? ((double)srcWidth - 1) * dSinE : -dSinE * (double)(srcWidth - width_2);
+		for (int u = 0; u < width_2; u++, dOffset -= dSinE)
+		{
+			int iShear = (int)dOffset;
+			vskew.invoke(null, dst1, dst2, u, iShear, (int)(255 * (dOffset - (double)iShear) + 1), bg);
+		}
+		dumpBuf(dst2, outDir + "/stage2.txt");
+
+		int width_3 = (int)((double)srcHeight * Math.abs(dSinE) + (double)srcWidth * Math.cos(dRadAngle) + 0.5) + 1;
+		int height_3 = height_2;
+		ImageRotatorBuffer dst3 = new ImageRotatorBuffer(width_3, height_3);
+		dOffset = (dSinE >= 0) ? (double)(srcWidth - 1) * dSinE * -dTan
+			: dTan * ((double)(srcWidth - 1) * -dSinE + (double)(1 - height_3));
+		for (int u = 0; u < height_3; u++, dOffset += dTan)
+		{
+			int iShear = (int)dOffset;
+			hskew.invoke(null, dst2, dst3, u, iShear, (int)(255 * (dOffset - (double)iShear) + 1), bg);
+		}
+		dumpBuf(dst3, outDir + "/stage3.txt");
+	}
+
+	static void dumpBuf(ImageRotatorBuffer buf, String out) throws Exception
+	{
+		PrintWriter w = new PrintWriter(out, "UTF-8");
+		w.println(buf.getWidth() + " " + buf.getHeight());
+		int[] b = buf.getBuffer();
+		for (int i = 0; i < b.length; i++) w.println(b[i]);
+		w.close();
+	}
+
+	// F7: gen-2 Sobel filter (ocr2/ConvolutionalClassifier.filerImage, private -> reflection).
+	static void sobel(String in, String out) throws Exception
+	{
+		BufferedImage gray = load(in).getImage();
+		BufferedImage src = new BufferedImage(gray.getWidth(), gray.getHeight(), BufferedImage.TYPE_INT_RGB);
+		java.awt.Graphics2D g = src.createGraphics();
+		g.drawImage(gray, 0, 0, null);
+		g.dispose();
+		BufferedImage dst = new BufferedImage(src.getWidth(), src.getHeight(), BufferedImage.TYPE_INT_RGB);
+		int[][] kernel = {{-1, 0, 1}, {-2, 0, 2}, {-1, 0, 1}};
+		Class<?> cc = Class.forName("org.terifan.ocr2.ConvolutionalClassifier");
+		java.lang.reflect.Method m = cc.getDeclaredMethod("filerImage", BufferedImage.class, BufferedImage.class, int[][].class);
+		m.setAccessible(true);
+		m.invoke(null, src, dst, (Object)kernel);
+		ImageIO.write(new Bitmap(dst).getImage(), "png", new File(out));
 	}
 }

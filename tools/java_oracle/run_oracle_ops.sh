@@ -1,0 +1,45 @@
+#!/bin/bash
+# Goldens for the auxiliary reference operators (P4/P6/P8/P9/P11, L2, F7) and
+# the INT_RGB->BYTE_GRAY calibration probe. Complements run_oracle.sh; the
+# produced JSON/PNGs are committed so CI never needs Java.
+set -euo pipefail
+
+REF=/root/reference
+REPO="$(cd "$(dirname "$0")/../.." && pwd)"
+BUILD=$(mktemp -d)
+GOLD="$REPO/tests/goldens"
+mkdir -p "$GOLD"
+
+javac -nowarn -encoding UTF-8 -d "$BUILD" $(find "$REF/src" -name '*.java')
+javac -nowarn -encoding UTF-8 -cp "$BUILD" -d "$BUILD" "$REPO/tools/java_oracle/GoldenDump.java"
+
+J="java -Djava.awt.headless=true -cp $BUILD org.terifan.ocr.GoldenDump"
+
+# P9 three-shear rotation (quality 1, Bitmap.rotate default path)
+$J rotshear "$GOLD/scan_string_3.gray.png" 2.7   "$GOLD/rot_shear_p2.7.gray.png"
+$J rotshear "$GOLD/scan_string_3.gray.png" 353.4 "$GOLD/rot_shear_m6.6.gray.png"
+$J rotshear "$GOLD/lines_input.gray.png"   2.0   "$GOLD/lines_rot_p2.0.gray.png"
+
+# P8 quadrant rotation
+for a in 90 180 270; do
+  $J rotfixed "$GOLD/scan_string_3.gray.png" $a "$GOLD/rot_fixed_$a.gray.png"
+done
+
+# P11 ruling-line erasure (minInches=0.5, extra=2)
+$J erase "$GOLD/lines_input.gray.png" 0.5 2 "$GOLD/erase_lines.gray.png"
+
+# P6 skew estimate on the rotated ruled page
+$J angle "$GOLD/lines_rot_p2.0.gray.png" 10 230 > "$GOLD/angle_lines_rot.txt"
+$J angle "$GOLD/lines_input.gray.png" 10 230 >> "$GOLD/angle_lines_rot.txt"
+
+# L2 bounded fuzzy word matching
+$J words "$GOLD/words_cases.tsv" "$GOLD/words_golden.json"
+
+# F7 gen-2 Sobel
+$J sobel "$GOLD/scan_string_9.gray.png" "$GOLD/sobel_string_9.gray.png"
+
+# INT_RGB -> BYTE_GRAY conversion probe (Bitmap constructor path)
+$J rgb2gray "$GOLD/rgb2gray_probe.json"
+
+rm -rf "$BUILD"
+echo "aux goldens written to $GOLD"

@@ -76,6 +76,11 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--md", default=None, help="write/update this markdown report")
     ap.add_argument("--single", nargs=3, metavar=("CPUS", "CORPUS", "OUT"), default=None)
+    ap.add_argument(
+        "--prewarm", action="store_true",
+        help="read the corpus into page cache before each timed run so both "
+             "parallelism levels see identical input I/O state",
+    )
     args = ap.parse_args()
 
     if args.single:
@@ -94,6 +99,11 @@ def main() -> None:
     for k in [int(c) for c in args.cpus.split(",")]:
         out_dir = f"/tmp/ocr_spark_scaling/out_{tag}_{k}"
         shutil.rmtree(out_dir, ignore_errors=True)
+        if args.prewarm:
+            for name in os.listdir(corpus):
+                with open(os.path.join(corpus, name), "rb") as f:
+                    while f.read(1 << 24):
+                        pass
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single", str(k), corpus, out_dir,
              "--buckets", str(args.buckets)],
