@@ -1,4 +1,5 @@
-"""spark-submit entry point.
+"""spark-submit entry point (absolute imports: spark-submit runs this file
+as a top-level script, with the package supplied via --py-files).
 
   spark-submit --py-files dist/ocr_spark.zip ocr_spark/cli.py extract \
       --input /data/corpus --output /data/out --buckets 64
@@ -28,29 +29,55 @@ def main(argv=None):
     ex.add_argument("--master", default=None, help="override master (default: from spark-submit)")
     ex.add_argument("--shuffle-partitions", type=int, default=None)
 
+    st = sub.add_parser("stream", help="streaming extraction over arriving parquet files")
+    st.add_argument("--stream-dir", required=True, help="directory watched for documents parquet")
+    st.add_argument("--media-dir", required=True)
+    st.add_argument("--output", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--continuous", action="store_true",
+                    help="keep running (default: drain available files and stop)")
+    st.add_argument("--character-spacing", type=float, default=8.0)
+    st.add_argument("--master", default=None)
+    st.add_argument("--shuffle-partitions", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from .pipeline.job import configure, extract
+    from ocr_spark.pipeline.job import configure, extract
 
-    builder = SparkSession.builder.appName("ocr_spark.extract")
+    builder = SparkSession.builder.appName(f"ocr_spark.{args.cmd}")
     if args.master:
         builder = builder.master(args.master)
     builder = configure(builder, args.shuffle_partitions)
     spark = builder.getOrCreate()
     try:
-        metrics = extract(
-            spark,
-            args.input,
-            args.output,
-            run_id=args.run_id,
-            buckets=args.buckets,
-            resume=not args.no_resume,
-            character_spacing=args.character_spacing,
-            salt=not args.no_salt,
-        )
-        print(json.dumps(metrics))
+        if args.cmd == "extract":
+            metrics = extract(
+                spark,
+                args.input,
+                args.output,
+                run_id=args.run_id,
+                buckets=args.buckets,
+                resume=not args.no_resume,
+                character_spacing=args.character_spacing,
+                salt=not args.no_salt,
+            )
+            print(json.dumps(metrics))
+        else:  # stream
+            from ocr_spark.streaming.job import stream_extract
+
+            q = stream_extract(
+                spark,
+                args.stream_dir,
+                args.media_dir,
+                args.output,
+                args.checkpoint,
+                character_spacing=args.character_spacing,
+                available_now=not args.continuous,
+            )
+            q.awaitTermination()
+            print(json.dumps({"stream": "drained" if not args.continuous else "stopped"}))
     finally:
         spark.stop()
 

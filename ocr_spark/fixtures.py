@@ -49,12 +49,14 @@ SCALES = {
     "bench": dict(n_docs=40_000, n_pages=6_000),
 }
 
-_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 
 def load_glyphs():
-    with open(os.path.join(_DATA_DIR, "arial.gray.png"), "rb") as f:
-        sheet = decode_gray(f.read())
+    from importlib import resources
+
+    sheet = decode_gray(
+        resources.files("ocr_spark").joinpath("data/arial.gray.png").read_bytes()
+    )
     mask = black_mask(sheet)
     glyphs = {}
     for gy in range(6):

@@ -18,7 +18,6 @@ from pyspark.sql.functions import pandas_udf
 from ..html.strip import strip_html
 from ..kernel.classify import Alphabet
 
-_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 
 @functools.lru_cache(maxsize=1)
@@ -31,8 +30,11 @@ def default_alphabet() -> Alphabet:
 
     from ..png import decode_gray
 
-    with open(os.path.join(_DATA_DIR, "arial.gray.png"), "rb") as f:
-        raw = f.read()
+    # importlib.resources: works both from the source tree and from the
+    # --py-files zip (plain open() fails inside a zipimported package)
+    from importlib import resources
+
+    raw = resources.files("ocr_spark").joinpath("data/arial.gray.png").read_bytes()
     cache = os.path.join(
         "/tmp", f"ocr_spark_alpha_{hashlib.sha1(raw).hexdigest()[:16]}.npz"
     )

@@ -1,0 +1,93 @@
+"""Structured Streaming surface for the extraction engine.
+
+The reference is strictly batch (SURVEY.md §2.8), so these are Spark-native
+additions, not ports:
+
+* ``stream_extract`` — continuous ingestion of interleaved-document parquet
+  files: ``readStream`` file source -> per-micro-batch extraction via
+  ``foreachBatch`` reusing the exact batch logical plan (stripper UDF + OCR
+  kernel + media join), appended idempotently per micro-batch. Checkpointing
+  comes from the streaming engine (offsets/WAL), complementing the batch
+  job's manifest commits: a killed stream resumes at the last committed
+  micro-batch, and the per-batch output is partitioned by batch id so a
+  replayed batch overwrites itself instead of duplicating (exactly-once on
+  top of the file source's at-least-once replay).
+* ``stream_event_rollup`` — watermarked tumbling-window aggregation over an
+  event stream (late data bounded by the watermark), the streaming twin of
+  functions/events.tumbling_hourly.
+
+At cluster scale the file source becomes Kafka/Iceberg-CDC; the plan shape
+(stateless extract in foreachBatch, watermarked stateful agg) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import DOCUMENTS
+from ..pipeline.job import extract_spans, read_media
+
+
+def stream_extract(
+    spark: SparkSession,
+    stream_dir: str,
+    media_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    character_spacing: float = 8.0,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with ``available_now`` run to completion) the streaming
+    extraction over a directory of documents parquet files."""
+    media = read_media(spark, media_dir)
+
+    reader = spark.readStream.schema(DOCUMENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(stream_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_spans(batch_df, media, character_spacing=character_spacing)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{output_dir}/spans")
+        )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_rollup(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup of a streaming events DataFrame:
+    counts + exact decimal value sums per (window, event_type). Late rows
+    beyond the watermark are dropped by the engine, bounding state."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,127 @@
+"""Structured Streaming tests: streaming extraction must produce the exact
+same span set as the batch oracle; the watermarked rollup must match the
+batch aggregation over the same files."""
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from conftest import REPO
+
+pyspark = pytest.importorskip("pyspark")
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SF_EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ocr_spark.pipeline.job import configure
+
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("ocr_spark-streaming-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    s = configure(builder).getOrCreate()
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_corpus"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "synth.py"),
+         "--scale", "tiny", "--out", out],
+        check=True,
+    )
+    return out
+
+
+def _spans_set(df):
+    return {
+        (r.doc_id, r.ord, r.kind, r.text, r.media_ref)
+        for r in df.select("doc_id", "ord", "kind", "text", "media_ref").collect()
+    }
+
+
+def test_stream_extract_matches_batch_oracle(spark, corpus, tmp_path):
+    from ocr_spark.streaming.job import stream_extract
+
+    stream_dir = str(tmp_path / "incoming")
+    os.makedirs(stream_dir)
+    # two "arriving" files -> two micro-batch-able inputs
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(corpus, "documents.parquet"))
+    n = t.num_rows
+    pq.write_table(t.slice(0, n // 2), os.path.join(stream_dir, "part-0.parquet"))
+    pq.write_table(t.slice(n // 2), os.path.join(stream_dir, "part-1.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    q = stream_extract(
+        spark, stream_dir, corpus, out_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    got = _spans_set(spark.read.parquet(f"{out_dir}/spans"))
+    expected = _spans_set(spark.read.parquet(f"{corpus}/expected_spans.parquet"))
+    assert got == expected
+
+    # restart with no new files: no duplicates (checkpoint resume)
+    q2 = stream_extract(
+        spark, stream_dir, corpus, out_dir, str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/spans").count() == len(expected)
+
+
+def test_stream_event_rollup_matches_batch(spark, tmp_path):
+    from ocr_spark.streaming.job import stream_event_rollup
+
+    stream_dir = str(tmp_path / "events_in")
+    os.makedirs(stream_dir)
+    shutil.copy(SF_EVENTS, os.path.join(stream_dir, "events-0.parquet"))
+
+    schema = spark.read.parquet(SF_EVENTS).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    rollup = stream_event_rollup(spark, stream)
+
+    q = (
+        rollup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rollup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from rollup_sink")
+
+    batch = (
+        spark.read.parquet(SF_EVENTS)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    # availableNow emits only windows closed by the final watermark; every
+    # emitted row must match the batch result exactly, and most windows close
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows <= batch_rows
+    assert len(got_rows) >= len(batch_rows) - 5  # only trailing windows open
