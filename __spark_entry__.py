@@ -238,6 +238,59 @@ def _q_simhash(spark, sf_dir):
     return simhash_bits(_docs(spark, sf_dir))
 
 
+def _q_rollup(spark, sf_dir):
+    """Grouping-sets category (SURVEY §2.8): ROLLUP over returnflag/linestatus."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def _q_nations_intersect(spark, sf_dir):
+    """Set-ops category: nations hosting BOTH suppliers and customers."""
+    s = _read(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    c = _read(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    return s.intersect(c)
+
+
+def _q_nations_except(spark, sf_dir):
+    """Set-ops category: nations with customers but no suppliers."""
+    s = _read(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    c = _read(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    return c.subtract(s)  # set semantics, same as SQL EXCEPT
+
+
+def _q_lsh_jaccard_est(spark, sf_dir):
+    """MinHash band agreement as a Jaccard estimator, joined against the
+    true n-gram Jaccard for every candidate pair — the dedup quality gauge."""
+    from ocr_spark.functions.dedup import jaccard_pairs, minhash_signatures, shingles
+
+    sh = shingles(_docs(spark, sf_dir))
+    sig = minhash_signatures(sh)
+    # equi-join on the (band, minhash) bucket key — never a per-band cross
+    # join; pairs agreeing on zero bands simply don't appear (estimate 0)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "minhash")
+    agree = (
+        a.join(b, ["band", "minhash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("bands_agree"))
+    )
+    true_j = jaccard_pairs(sh, min_common=2)
+    return true_j.join(agree, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.coalesce("bands_agree", F.lit(0)).cast("long").alias("bands_agree"),
+        (F.coalesce("bands_agree", F.lit(0)) / F.lit(4.0)).alias("jaccard_est"),
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     from ocr_spark.functions.similarity import cosine_topk
 
@@ -308,6 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_jaccard,
         "simhash_bits": _q_simhash,
+        "q1_rollup": _q_rollup,
+        "nations_intersect": _q_nations_intersect,
+        "nations_except": _q_nations_except,
+        "lsh_jaccard_est": _q_lsh_jaccard_est,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_bucket_hist": _q_bucket_hist,
         "emb_lsh_topk": _q_lsh_topk,
@@ -509,6 +566,51 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN SUM(dt.cnt * bits.contrib) > 0 THEN 1 ELSE 0 END)::BIGINT AS bit
             FROM dt JOIN bits ON dt.token = bits.token
             GROUP BY dt.doc_id, bits.bit_idx
+        """,
+        "q1_rollup": f"""
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "nations_intersect": """
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+            INTERSECT
+            SELECT CAST(c_nationkey AS BIGINT) FROM customer
+        """,
+        "nations_except": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            EXCEPT
+            SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        """,
+        "lsh_jaccard_est": f"""
+            WITH sh AS ({_SQL_SHINGLES}),
+            sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            true_j AS (
+                SELECT doc_a, doc_b,
+                       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = common.doc_a
+                JOIN sizes sb ON sb.doc_id = common.doc_b
+            ),
+            sig AS ({_SQL_MINHASH}),
+            agree AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS bands_agree
+                FROM sig a JOIN sig b
+                  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT t.doc_a, t.doc_b, t.jaccard,
+                   COALESCE(g.bands_agree, 0)::BIGINT AS bands_agree,
+                   COALESCE(g.bands_agree, 0) / 4.0 AS jaccard_est
+            FROM true_j t
+            LEFT JOIN agree g ON t.doc_a = g.doc_a AND t.doc_b = g.doc_b
         """,
         "emb_cosine_topk": """
             WITH n AS (

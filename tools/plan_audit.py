@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+# Catalyst plan audit of the headline queries: verifies predicate pushdown
+# (PushedFilters), column pruning (ReadSchema), join strategy, and counts
+# exchanges/python nodes. Output recorded in BENCH/PLANS.md per round.
+import sys, re, io
+sys.path.insert(0, "/root/repo")
+from contextlib import redirect_stdout
+from pyspark.sql import SparkSession
+import __spark_entry__ as e
+
+spark = (SparkSession.builder.master("local[4]").appName("plans")
+    .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
+    .config("spark.sql.session.timeZone","UTC").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+SF = "/root/testdata/sf0.01"
+
+AUDIT = ["q1_pricing_summary","q3_order_revenue","q5_nation_volume","brand_volume",
+         "events_sessionize","doc_quality","minhash_signatures","ngram_jaccard",
+         "simhash_bits","emb_cosine_topk","emb_lsh_topk"]
+q = e.queries()
+for name in AUDIT:
+    df = q[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    n_exch = len(re.findall(r"\bExchange\b", plan))
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    n_smj = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
+    n_wsc = len(re.findall(r"WholeStageCodegen", plan))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    n_py = len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapsInPandas|MapInPandas", plan))
+    print(f"== {name}: exchanges={n_exch} bcastJoin={n_bhj} shuffleJoin={n_smj} codegen={n_wsc} pythonNodes={n_py}")
+    for p in pushed[:4]:
+        print(f"   pushed: [{p[:100]}]")
+    for s in schemas[:4]:
+        print(f"   readSchema: {s[:110]}")
+spark.stop()
