@@ -81,6 +81,14 @@ def main() -> None:
         help="read the corpus into page cache before each timed run so both "
              "parallelism levels see identical input I/O state",
     )
+    ap.add_argument(
+        "--taskset", action="store_true",
+        help="confine each run's ENTIRE process tree (JVM, GC threads, Python "
+             "workers) to its k cores via taskset. Without this, a local[2] "
+             "run still spreads JVM service threads over every core, "
+             "flattering the small-N baseline — a real 2-core cluster cannot "
+             "do that, so pinned runs are the faithful cluster-size analogue",
+    )
     args = ap.parse_args()
 
     if args.single:
@@ -104,11 +112,11 @@ def main() -> None:
                 with open(os.path.join(corpus, name), "rb") as f:
                     while f.read(1 << 24):
                         pass
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", str(k), corpus, out_dir,
-             "--buckets", str(args.buckets)],
-            capture_output=True, text=True, cwd=REPO,
-        )
+        cmd = [sys.executable, os.path.abspath(__file__), "--single", str(k), corpus, out_dir,
+               "--buckets", str(args.buckets)]
+        if args.taskset:
+            cmd = ["taskset", "-c", f"0-{k - 1}"] + cmd
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
         if not line:
             sys.stderr.write(proc.stdout + "\n" + proc.stderr + "\n")
