@@ -291,6 +291,12 @@ def _q_lsh_jaccard_est(spark, sf_dir):
     )
 
 
+def _q_winnow(spark, sf_dir):
+    from ocr_spark.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def _q_cosine_topk(spark, sf_dir):
     from ocr_spark.functions.similarity import cosine_topk
 
@@ -365,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_intersect": _q_nations_intersect,
         "nations_except": _q_nations_except,
         "lsh_jaccard_est": _q_lsh_jaccard_est,
+        "winnow_fingerprints": _q_winnow,
         "emb_cosine_topk": _q_cosine_topk,
         "emb_bucket_hist": _q_bucket_hist,
         "emb_lsh_topk": _q_lsh_topk,
@@ -611,6 +618,19 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(g.bands_agree, 0) / 4.0 AS jaccard_est
             FROM true_j t
             LEFT JOIN agree g ON t.doc_a = g.doc_a AND t.doc_b = g.doc_b
+        """,
+        "winnow_fingerprints": f"""
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id, pos,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+                FROM (
+                    SELECT doc_id, i - 1 AS pos,
+                           md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+                    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+                         UNNEST(generate_series(1, len(toks) - 2)) AS g(i)
+                )
+            ) WHERE pos >= 3
         """,
         "emb_cosine_topk": """
             WITH n AS (

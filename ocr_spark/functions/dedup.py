@@ -159,3 +159,35 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("bit"),
         )
     )
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. local algorithm):
+    hash every word-k-gram in order, slide a window of ``window`` hashes,
+    keep each window's minimum, dedupe. Guarantees any shared run of
+    k+window-1 tokens between two docs shares a fingerprint.
+
+    One shuffle (the per-doc window sort); at scale the ordered shingle
+    stream comes straight off the tokenizer, so cost is O(tokens) per doc.
+    Output: (doc_id, fp) distinct.
+    """
+    from pyspark.sql import Window
+
+    parts = ", ".join(f"_toks[i - 1 + {j}]" for j in range(k))
+    shingle_expr = (
+        f"CASE WHEN size(_toks) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {k - 1}), i -> concat_ws(' ', {parts})) END"
+    )
+    hashed = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.posexplode(F.expr(shingle_expr)).alias("pos", "sh"))
+        .select(F.col(id_col), "pos", F.md5("sh").alias("h"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .where(F.col("pos") >= window - 1)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )

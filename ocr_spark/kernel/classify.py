@@ -131,3 +131,73 @@ def classify_template_batch(closest: np.ndarray, alphabet: Alphabet):
     n = alphabet.n
     d = np.abs(closest[:, None, :, :] - alphabet.closest[None, :, :, :]).sum(axis=(2, 3))
     return 1.0 - d / float(n * n * n)
+
+
+# --------------------------------------------------------------------------
+# Multiclassifier vote (north-star slot: curvature 1-NN + template matcher
+# + neural net). The curvature classifier remains the parity path; the vote
+# adds confidence/agreement and an optional override mode for users who
+# want consensus decisions (never used by the default extraction pipeline).
+# --------------------------------------------------------------------------
+
+def load_glyph_mlp():
+    """Committed deterministic MLP weights (tools/train_glyph_mlp.py);
+    loaded via importlib.resources so the --py-files zip works."""
+    import io
+    from importlib import resources
+
+    raw = resources.files("ocr_spark").joinpath("data/glyph_mlp.npz").read_bytes()
+    z = np.load(io.BytesIO(raw), allow_pickle=False)
+    return {k: z[k] for k in ("W1", "b1", "W2", "b2", "chars")}
+
+
+def classify_mlp_batch(matrices: np.ndarray, weights: dict):
+    """T7 realization: 2-layer MLP over flattened 9x9 glyph matrices.
+    Returns (pred char indices into weights['chars'], softmax confidence)."""
+    x = matrices.reshape(len(matrices), -1).astype(np.float64)
+    h = np.tanh(x @ weights["W1"] + weights["b1"])
+    logits = h @ weights["W2"] + weights["b2"]
+    logits -= logits.max(axis=1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=1, keepdims=True)
+    idx = p.argmax(axis=1)
+    return idx, p[np.arange(len(idx)), idx]
+
+
+def classify_vote_batch(
+    matrices: np.ndarray,
+    vectors: np.ndarray,
+    alphabet: Alphabet,
+    mlp_weights: dict | None = None,
+):
+    """Char-level majority vote of three independent classifiers:
+
+      1. curvature 1-NN (T2, the reference's production path)
+      2. template matcher on distance transforms (T6, dormant in reference)
+      3. glyph MLP (T7 slot, trained offline, committed weights)
+
+    Ties (all three disagree) fall back to the curvature decision, so with
+    vote DISABLED or all-tie inputs the output equals the parity path.
+    Returns (chars, agreement in {1,2,3}) per glyph.
+    """
+    if mlp_weights is None:
+        mlp_weights = load_glyph_mlp()
+    idx_curv, _ = classify_batch(vectors, alphabet)
+    closest = np.stack([extract_closest_pixel(m) for m in matrices])
+    idx_tmpl = classify_template_batch(closest, alphabet).argmax(axis=1)
+    idx_mlp, _ = classify_mlp_batch(matrices, mlp_weights)
+
+    mlp_chars = mlp_weights["chars"]
+    out_chars, agreement = [], []
+    for b in range(len(matrices)):
+        c1 = alphabet.chars[int(idx_curv[b])]
+        c2 = alphabet.chars[int(idx_tmpl[b])]
+        c3 = str(mlp_chars[int(idx_mlp[b])])
+        votes = {}
+        for c in (c1, c2, c3):
+            votes[c] = votes.get(c, 0) + 1
+        best = max(votes.values())
+        winner = c1 if votes.get(c1, 0) == best else (c2 if votes.get(c2, 0) == best else c3)
+        out_chars.append(winner)
+        agreement.append(best)
+    return out_chars, np.array(agreement)

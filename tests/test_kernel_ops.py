@@ -201,3 +201,53 @@ def test_scan_relative(arial_alphabet):
         expected = [w.text for w in words if w.x + w.w > first.x + first.w + 2]
         assert [w.text for w in rel] == expected
         assert len(rel) < len(words)
+
+
+def test_multiclassifier_vote(arial_alphabet):
+    """T5/T6/T7 vote: on the learned alphabet's own glyph matrices the vote
+    must reproduce the curvature decision (majority or tie-fallback), be
+    deterministic, and mostly unanimous."""
+    import numpy as np
+
+    from ocr_spark.kernel.bitmap import extract_matrix
+    from ocr_spark.kernel.classify import (
+        classify_batch,
+        classify_mlp_batch,
+        classify_vote_batch,
+        load_glyph_mlp,
+    )
+    from ocr_spark.kernel.features import curvature_vector
+    from ocr_spark.png import decode_gray
+    import os
+    from conftest import GOLDENS
+
+    with open(os.path.join(GOLDENS, "arial.gray.png"), "rb") as f:
+        sheet = decode_gray(f.read())
+    mats = []
+    for gy in range(6):
+        for gx in range(13):
+            m, _ = extract_matrix(sheet, 71 * gx + 1, 69 * gy + 1, 69, 67, 9)
+            if m.any():
+                mats.append(m)
+    mats = np.stack(mats)
+    vecs = np.stack([curvature_vector(m).reshape(-1) for m in mats])
+
+    weights = load_glyph_mlp()
+    idx_mlp, conf = classify_mlp_batch(mats, weights)
+    assert (np.array([str(weights["chars"][i]) for i in idx_mlp]) ==
+            np.array(arial_alphabet.chars)).mean() > 0.9
+
+    chars, agreement = classify_vote_batch(mats, vecs, arial_alphabet, weights)
+    idx_curv, _ = classify_batch(vecs, arial_alphabet)
+    curv_chars = [arial_alphabet.chars[int(i)] for i in idx_curv]
+    # self-classification: all three agree on the vast majority
+    assert (agreement >= 2).mean() > 0.9
+    # the vote departs from the parity path ONLY on a true 2-vs-1 majority
+    # (e.g. the 'i'/'I' degenerate matrices where template+MLP outvote the
+    # curvature argmin), and only rarely
+    diffs = [i for i, (a, b) in enumerate(zip(chars, curv_chars)) if a != b]
+    assert all(agreement[i] >= 2 for i in diffs)
+    assert len(diffs) / len(chars) < 0.1
+
+    chars2, agreement2 = classify_vote_batch(mats, vecs, arial_alphabet, weights)
+    assert chars2 == chars and (agreement2 == agreement).all()
