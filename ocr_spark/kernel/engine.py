@@ -26,6 +26,9 @@ from .features import curvature_vector
 _VEC_CACHE: dict[bytes, np.ndarray] = {}
 _VEC_CACHE_MAX = 200_000
 
+_MATRIX_CACHE: dict[bytes, np.ndarray] = {}
+_MATRIX_CACHE_MAX = 200_000
+
 
 def _vector_of(matrix: np.ndarray) -> np.ndarray:
     key = np.packbits(matrix).tobytes()
@@ -36,6 +39,21 @@ def _vector_of(matrix: np.ndarray) -> np.ndarray:
             _VEC_CACHE.clear()
         _VEC_CACHE[key] = v
     return v
+
+
+def _matrix_of(gray: np.ndarray, x: int, y: int, w: int, h: int, n: int) -> np.ndarray:
+    """extract_matrix memoized by exact crop bytes: repeated glyph imagery
+    (rendered corpora, scanned forms, repeated logos) skips the normalize +
+    Java-bilinear resize chain entirely. Pure memoization — identical input
+    bytes, identical output."""
+    key = gray[y : y + h, x : x + w].tobytes() + bytes([w & 0xFF, h & 0xFF, n])
+    m = _MATRIX_CACHE.get(key)
+    if m is None:
+        m, _ = extract_matrix(gray, x, y, w, h, n)
+        if len(_MATRIX_CACHE) >= _MATRIX_CACHE_MAX:
+            _MATRIX_CACHE.clear()
+        _MATRIX_CACHE[key] = m
+    return m
 
 
 def load_page(gray: np.ndarray, settings: Settings, region=(0.0, 0.0, 1.0, 1.0)):
@@ -83,7 +101,7 @@ def scan_page(
         vecs = []
         for word, cb in boxes:
             b = cb if cb is not None else word
-            matrix, _ = extract_matrix(gray, b.x, b.y, b.w, b.h, alphabet.n)
+            matrix = _matrix_of(gray, b.x, b.y, b.w, b.h, alphabet.n)
             vecs.append(_vector_of(matrix))
         idx, _ = classify_batch(np.stack(vecs), alphabet, accept=accept)
         for (word, cb), i in zip(boxes, idx):

@@ -35,20 +35,25 @@ def _srgb_lut() -> np.ndarray:
 SRGB_LUT = _srgb_lut()
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4096)
+def _axis(d: int, s: int):
+    sx = s / d
+    k = np.arange(d, dtype=np.float64)
+    incr = np.int64(int(sx * 65536.0))
+    pos = np.trunc(k * sx * 65536.0).astype(np.int64) + (incr >> 1) - 32768
+    return pos >> 16, (pos >> 8) & 0xFF
+
+
 def java_bilinear(src: np.ndarray, dw: int, dh: int) -> np.ndarray:
     """One Java2D bilinear drawImage scale step on a single-channel raster."""
     sh, sw = src.shape
     src = src.astype(np.int64, copy=False)
 
-    def axis(d: int, s: int):
-        sx = s / d
-        k = np.arange(d, dtype=np.float64)
-        incr = np.int64(int(sx * 65536.0))
-        pos = np.trunc(k * sx * 65536.0).astype(np.int64) + (incr >> 1) - 32768
-        return pos >> 16, (pos >> 8) & 0xFF
-
-    xi, wx = axis(dw, sw)
-    yi, wy = axis(dh, sh)
+    xi, wx = _axis(dw, sw)
+    yi, wy = _axis(dh, sh)
     x0 = np.clip(xi, 0, sw - 1)
     x1 = np.clip(xi + 1, 0, sw - 1)
     y0 = np.clip(yi, 0, sh - 1)

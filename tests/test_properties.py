@@ -1,0 +1,122 @@
+"""Property-based tests (SURVEY.md §5.4): random inputs against independent
+reference implementations / invariants."""
+
+import numpy as np
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from conftest import REPO  # noqa: F401
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Trusted textbook implementation with the resolver's '\\r' wildcard."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cost = 0 if (ca == "\r" or ca == cb) else 1
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + cost))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcXY", max_size=10),
+    st.text(alphabet="abcXY", max_size=10),
+    st.integers(min_value=0, max_value=6),
+    st.booleans(),
+)
+def test_compare_words_equals_levenshtein(template, compare, budget, case_sensitive):
+    from ocr_spark.kernel.resolver import compare_words
+
+    t = template.lower() if not case_sensitive else template
+    c = compare.lower() if not case_sensitive else compare
+    expected = _levenshtein(t, c) <= budget
+    assert compare_words(template, compare, budget, case_sensitive) == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcd", max_size=8),
+    st.text(alphabet="abcd", min_size=0, max_size=6),
+    st.integers(min_value=0, max_value=4),
+)
+def test_compare_words_prefix_mode(template, suffix, budget):
+    """'template^' accepts any compare whose some prefix is within budget."""
+    from ocr_spark.kernel.resolver import compare_words
+
+    # exact template + arbitrary suffix must always match in prefix mode
+    assert compare_words(template + "^", template + suffix, budget, True)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_contour_sentinels_on_random_matrices(seed):
+    """F2 invariants on random glyph matrices: empty rows/cols produce the
+    documented sentinels; values otherwise stay within [0, N]."""
+    from ocr_spark.kernel.features import extract_contour
+
+    rng = np.random.default_rng(seed)
+    m = rng.random((9, 9)) < 0.3
+    cont = extract_contour(m.astype(bool))
+    assert cont.shape == (8, 9)
+    assert np.isfinite(cont[~np.isnan(cont)]).all()
+    # forward scans that find no ink accumulate ~N, reverse ~-1; everything
+    # else is a bin-averaged first-ink distance in [-1, 9]
+    valid = cont[~np.isnan(cont)]
+    assert ((valid >= -1.0001) & (valid <= 9.0001)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_curvature_vector_deterministic_and_bounded(seed):
+    """F5: rerunning the kernel on the same matrix is bit-identical and the
+    zone areas are bounded by the matrix area."""
+    from ocr_spark.kernel.features import curvature_vector
+
+    rng = np.random.default_rng(seed)
+    m = rng.random((9, 9)) < 0.35
+    v1 = curvature_vector(m)
+    v2 = curvature_vector(m)
+    assert np.array_equal(v1, v2)
+    assert (v1 >= 0).all() and (v1 <= 81).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_strip_html_idempotent_on_plain_text(seed):
+    """Stripping already-stripped text is a fixpoint (no tags left)."""
+    import pandas as pd
+
+    from ocr_spark.html.strip import strip_html
+
+    rng = np.random.default_rng(seed)
+    words = ["".join(rng.choice(list("abcdef"), size=4)) for _ in range(6)]
+    text = " ".join(words)
+    once = strip_html(pd.Series([f"<p>{text}</p>"]))[0]
+    twice = strip_html(pd.Series([once]))[0]
+    assert once == text
+    assert twice == once
+
+
+def test_winnowing_guarantee():
+    """Any shared run of k+w-1 tokens yields at least one shared fingerprint
+    (the winnowing guarantee), checked kernel-side with pandas semantics."""
+    import hashlib
+
+    k, w = 3, 4
+
+    def winnow(tokens):
+        shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+        return {min(hs[max(0, i - w + 1) : i + 1]) for i in range(w - 1, len(hs))}
+
+    rng = np.random.default_rng(11)
+    vocab = ["t%d" % i for i in range(50)]
+    shared = [str(v) for v in rng.choice(vocab, size=k + w - 1)]
+    a = [str(v) for v in rng.choice(vocab, size=10)] + shared
+    b = shared + [str(v) for v in rng.choice(vocab, size=10)]
+    assert winnow(a) & winnow(b)
