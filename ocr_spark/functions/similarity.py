@@ -109,3 +109,94 @@ def bucketed_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r4"))
     )
+
+
+def train_ivf_centroids(df, n_clusters: int = 16, iters: int = 10,
+                        sample_mod: int = 1, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """IVF coarse quantizer: deterministic Lloyd k-means on a driver-side
+    sample (standard IVF practice — the quantizer trains on a sample even at
+    web scale; assignment below is fully distributed). Deterministic: sample
+    = vec_id % sample_mod == 0, init = first n_clusters sampled vectors in
+    vec_id order, fixed iteration count, no RNG."""
+    import numpy as np
+
+    rows = (
+        df.where(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    C = X[:n_clusters].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(n_clusters):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
+def ivf_assign(df, centroids, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed cluster assignment against literal centroids — pure JVM
+    expressions (squared-L2 per centroid via a zip_with/aggregate fold,
+    argmin via array_position of the array minimum)."""
+    dists = []
+    for c in centroids:
+        lit = "array({})".format(", ".join(f"cast({float(v)!r} as double)" for v in c))
+        dists.append(
+            f"aggregate(zip_with(transform({vec_col}, x -> cast(x as double)), {lit}, "
+            f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    arr = "array({})".format(", ".join(dists))
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.expr(f"array_position({arr}, array_min({arr}))") - 1).cast("int").alias("cluster"),
+    )
+
+
+def ivf_topk(df, k: int = 3, n_queries: int = 8, n_clusters: int = 16,
+             nprobe: int = 4, sample_mod: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF approximate top-k: queries search only their ``nprobe`` nearest
+    inverted lists instead of the whole corpus — the similarity join becomes
+    an equi-join on cluster id with selectivity nprobe/n_clusters. Output:
+    (query_id, neighbor_id, rnk, sim_r4), same shape as cosine_topk."""
+    import numpy as np
+
+    C = train_ivf_centroids(df, n_clusters, sample_mod=sample_mod,
+                            vec_col=vec_col, id_col=id_col)
+    assigned = ivf_assign(df, C, vec_col, id_col)
+    base = with_norms(df, vec_col, id_col).join(
+        assigned.select(id_col, "cluster"), id_col
+    )
+
+    q_rows = base.where(F.col(id_col) < n_queries).select(id_col, "vec").collect()
+    probes = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        d = ((C - qv[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:nprobe]:
+            probes.append((int(r[0]), int(c)))
+    probe_df = df.sparkSession.createDataFrame(probes, "query_id long, cluster int")
+
+    q = base.select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
+    ).where(F.col("query_id") < n_queries).join(probe_df, "query_id")
+    n = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("nv"),
+        F.col("norm").alias("nn"), "cluster",
+    )
+    pairs = q.join(n, "cluster").where(F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.withColumn(
+        "sim", F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qn") * F.col("nn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r4"))
+    )

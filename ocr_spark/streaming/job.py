@@ -91,3 +91,64 @@ def stream_event_rollup(
             "sum_value",
         )
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "session_start timestamp, last_ts timestamp, n_events bigint"
+
+
+def stream_sessionize_stateful(events_stream: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user gap-based sessionization with state that survives micro-batch
+    boundaries (an event arriving in a later batch within the gap EXTENDS
+    the open session instead of starting a new one — something the
+    stateless window/lag formulation cannot do across batches).
+
+    Emits a row per CLOSED session (append mode); each user's still-open
+    session lives in the state store until a later event closes it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        events = pd.concat(list(pdf_iter))
+        if len(events) == 0:
+            return
+        ts = events["ts"].sort_values().reset_index(drop=True)
+
+        if state.exists:
+            session_start, last_ts, n_events = state.get
+            session_start = pd.Timestamp(session_start)
+            last_ts = pd.Timestamp(last_ts)
+        else:
+            session_start, last_ts, n_events = None, None, 0
+
+        closed = []
+        for t in ts:
+            if last_ts is not None and (t - last_ts).total_seconds() > gap_s:
+                closed.append((user_id, session_start, last_ts, n_events))
+                session_start, n_events = t, 0
+            if session_start is None:
+                session_start = t
+            last_ts = t
+            n_events += 1
+        state.update((session_start.to_pydatetime(), last_ts.to_pydatetime(), int(n_events)))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

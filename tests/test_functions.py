@@ -1,0 +1,59 @@
+"""Contracts that the oracle comparison cannot express: ANN recall vs brute
+force, and IVF determinism."""
+
+import pytest
+
+from conftest import REPO  # noqa: F401
+
+pyspark = pytest.importorskip("pyspark")
+from pyspark.sql import SparkSession  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("functions-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from ocr_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb).collect()}
+    approx1 = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb).collect()}
+    approx2 = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb).collect()}
+    assert approx1 == approx2  # deterministic quantizer + assignment
+    recall = len(exact & approx1) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low (nprobe=4/16)"
+
+
+def test_sign_lsh_finds_planted_near_duplicate(spark):
+    """The LSH promise: a vector similar enough to share all sign bits lands
+    in the same bucket and is retrieved as the top neighbor. (Random 64-dim
+    vectors have no true near neighbors, so recall-vs-bruteforce is the
+    wrong contract for this data — plant one instead.)"""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.similarity import bucketed_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    twin = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.lit(99990).cast("long").alias("vec_id"),
+            F.expr("transform(embedding, x -> cast(x * 0.95 as float))").alias("embedding"),
+            F.col("label"),
+        )
+    )
+    planted = emb.unionByName(twin)
+    got = {(r.query_id, r.neighbor_id, r.rnk) for r in bucketed_topk(planted).collect()}
+    assert (0, 99990, 1) in got  # same signs -> same bucket -> top-1 by cosine

@@ -125,3 +125,55 @@ def test_stream_event_rollup_matches_batch(spark, tmp_path):
     batch_rows = {tuple(r) for r in batch.collect()}
     assert got_rows <= batch_rows
     assert len(got_rows) >= len(batch_rows) - 5  # only trailing windows open
+
+
+def test_stateful_sessionize_spans_batches(spark, tmp_path):
+    """State must carry across micro-batches: an event in batch 2 within the
+    gap extends the session opened in batch 1; closed sessions match the
+    batch sessionizer's (all but each user's final session)."""
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.events import sessionize
+    from ocr_spark.streaming.job import stream_sessionize_stateful
+
+    stream_dir = str(tmp_path / "ev_in")
+    os.makedirs(stream_dir)
+    t = pq.read_table(SF_EVENTS)
+    # split mid-table so many sessions straddle the file boundary
+    n = t.num_rows
+    pq.write_table(t.slice(0, n // 2), os.path.join(stream_dir, "a.parquet"))
+    pq.write_table(t.slice(n // 2), os.path.join(stream_dir, "b.parquet"))
+
+    schema = spark.read.parquet(SF_EVENTS).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream_sessionize_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sessions_sink").collect()
+    }
+
+    batch = sessionize(spark.read.parquet(SF_EVENTS)).collect()
+    last_per_user = {}
+    for r in batch:
+        if r.user_id not in last_per_user or r.session_id > last_per_user[r.user_id]:
+            last_per_user[r.user_id] = r.session_id
+    expected = {
+        (r.user_id, r.t_start, r.t_end, r.n_events)
+        for r in batch
+        if r.session_id != last_per_user[r.user_id]  # open sessions not emitted
+    }
+    assert got == expected
+    assert len(got) > 50  # plenty of closed sessions in the sf0.001 stream
