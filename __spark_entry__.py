@@ -315,6 +315,14 @@ def _q_lsh_topk(spark, sf_dir):
     return bucketed_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def _q_lang_ngram(spark, sf_dir):
+    """Non-SQL-expressible (hashed char-trigram profiles in a pandas UDF):
+    statistical language ID; correctness contract in tests/test_functions.py."""
+    from ocr_spark.functions.text import lang_id_ngram
+
+    return lang_id_ngram(_docs(spark, sf_dir))
+
+
 def _q_ivf_topk(spark, sf_dir):
     """Non-SQL-expressible (k-means quantizer): IVF approximate top-k; the
     recall-vs-brute-force contract is asserted in tests/test_functions.py."""
@@ -383,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_cosine_topk,
         "emb_bucket_hist": _q_bucket_hist,
         "emb_lsh_topk": _q_lsh_topk,
+        "doc_lang_ngram": _q_lang_ngram,
         "emb_ivf_topk": _q_ivf_topk,
         "ocr_extract_spans": _q_ocr_extract,
         "media_image_features": _q_image_features,

@@ -14,6 +14,7 @@ Conventions shared with the oracles (do not change one side only):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import Column, DataFrame, functions as F
 
 # marker stopwords per language for the heuristic language IDer; deliberately
@@ -103,4 +104,100 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.col(id_col),
         F.md5(norm).alias("fp_norm"),
         F.md5(prefix).alias("fp_prefix3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram language ID (the statistical complement to the stopword heuristic
+# above). Profiles are tiny in-code char-trigram frequency tables built from
+# the deterministic seed sentences below — no external data, reproducible.
+# Scoring is vectorized: one pass hashing all trigrams of a batch into the
+# profile space, then a dot product per language.
+# --------------------------------------------------------------------------
+
+_LANG_SEED_TEXT = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the people of the "
+        "city went to the market where they would buy bread and talk about "
+        "the weather because it was the thing that they all shared together"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y la gente de "
+        "la ciudad fue al mercado donde compraban pan y hablaban del tiempo "
+        "porque era la cosa que todos compartian juntos cada manana"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt ueber den faulen hund und die "
+        "leute der stadt gingen zum markt wo sie brot kauften und ueber das "
+        "wetter sprachen weil es das war was sie alle miteinander teilten"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et les "
+        "gens de la ville allaient au marche ou ils achetaient du pain et "
+        "parlaient du temps parce que cetait la chose quils partageaient"
+    ),
+}
+
+_NGRAM_DIM = 4096
+
+
+def _trigram_hashes(text: str):
+    import numpy as np
+
+    s = " " + text.lower() + " "
+    if len(s) < 3:
+        return np.zeros(0, dtype=np.int64)
+    b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.int64)
+    tri = b[:-2] * 31 * 31 + b[1:-1] * 31 + b[2:]
+    return tri % _NGRAM_DIM
+
+
+def _lang_profiles():
+    import numpy as np
+
+    profiles = {}
+    for lang, text in _LANG_SEED_TEXT.items():
+        v = np.bincount(_trigram_hashes(text), minlength=_NGRAM_DIM).astype(np.float64)
+        v = np.log1p(v)
+        profiles[lang] = v / (np.linalg.norm(v) or 1.0)
+    return profiles
+
+
+def make_lang_id_ngram_udf():
+    """Arrow-batched char-trigram language IDer: cosine of the document's
+    hashed-trigram frequency vector against each committed profile; argmax
+    with deterministic language-order tie-break, 'und' when no trigrams."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    profiles = _lang_profiles()
+    langs = list(profiles)
+
+    @pandas_udf(T.StringType())
+    def lang_udf(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        P = np.stack([profiles[lang] for lang in langs])  # (L, D)
+
+        def one(t):
+            if t is None:
+                return None
+            h = _trigram_hashes(t)
+            if len(h) == 0:
+                return "und"
+            v = np.bincount(h, minlength=_NGRAM_DIM).astype(np.float64)
+            v = np.log1p(v)
+            n = np.linalg.norm(v)
+            if n == 0:
+                return "und"
+            return langs[int(np.argmax(P @ (v / n)))]
+
+        return texts.map(one)
+
+    return lang_udf
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), make_lang_id_ngram_udf()(F.col(text_col)).alias("lang_pred")
     )

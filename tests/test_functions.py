@@ -57,3 +57,21 @@ def test_sign_lsh_finds_planted_near_duplicate(spark):
     planted = emb.unionByName(twin)
     got = {(r.query_id, r.neighbor_id, r.rnk) for r in bucketed_topk(planted).collect()}
     assert (0, 99990, 1) in got  # same signs -> same bucket -> top-1 by cosine
+
+
+def test_lang_id_ngram(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.text import lang_id_ngram
+
+    samples = [
+        (1, "the children walked to the school because the morning was bright", "en"),
+        (2, "los ninos caminaban a la escuela porque la manana era luminosa", "es"),
+        (3, "die kinder gingen zur schule weil der morgen hell und schoen war", "de"),
+        (4, "les enfants marchaient vers lecole parce que le matin etait clair", "fr"),
+        (5, "", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in samples], "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in lang_id_ngram(df).collect()}
+    for i, _, expect in samples:
+        assert got[i] == expect, (i, got[i], expect)
