@@ -43,6 +43,8 @@ HEADLINE = [
     "simhash_bits",
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "winnow_fingerprints",
+    "q1_rollup",
 ]
 
 

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.01"
 
 AUDIT = ["q1_pricing_summary","q3_order_revenue","q5_nation_volume","brand_volume",
          "events_sessionize","doc_quality","minhash_signatures","ngram_jaccard",
-         "simhash_bits","emb_cosine_topk","emb_lsh_topk"]
+         "simhash_bits","emb_cosine_topk","emb_lsh_topk","winnow_fingerprints","q1_rollup","nations_except"]
 q = e.queries()
 for name in AUDIT:
     df = q[name](spark, SF)
