@@ -124,3 +124,47 @@ def test_skewed_corpus(spark, tmp_path_factory, tmp_path):
     got = _spans_set(read_output(spark, out_dir))
     expected = _spans_set(spark.read.parquet(f"{corpus}/expected_spans.parquet"))
     assert got == expected
+
+
+def test_edge_cases_dangling_ref_and_empty_docs(spark, tmp_path):
+    """Robustness: a media span whose ref is missing from the media table
+    yields a null-text span (left join semantics); docs with empty span
+    arrays disappear from output without failing the job."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.pipeline.job import extract_spans, read_documents, read_media
+
+    span_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    docs_t = pa.table({
+        "doc_id": ["d-empty", "d-dangling", "d-nulltext"],
+        "spans": pa.array(
+            [
+                [],
+                [{"kind": "media", "text": None, "media_ref": "pg-nope", "offset": 0}],
+                [{"kind": "text", "text": None, "media_ref": None, "offset": 0}],
+            ],
+            type=pa.list_(span_type),
+        ),
+    })
+    media_t = pa.table({
+        "media_ref": pa.array([], pa.string()),
+        "width": pa.array([], pa.int32()),
+        "height": pa.array([], pa.int32()),
+        "png": pa.array([], pa.binary()),
+        "truth": pa.array([], pa.string()),
+    })
+    d = str(tmp_path / "edge")
+    os.makedirs(d)
+    pq.write_table(docs_t, f"{d}/documents.parquet")
+    pq.write_table(media_t, f"{d}/media.parquet")
+
+    out = extract_spans(read_documents(spark, d), read_media(spark, d)).collect()
+    rows = {(r.doc_id, r.ord, r.kind, r.text, r.media_ref) for r in out}
+    assert rows == {
+        ("d-dangling", 0, "media", None, "pg-nope"),
+        ("d-nulltext", 0, "text", None, None),
+    }

@@ -48,6 +48,7 @@ public class GoldenDump
 			case "angle": angle(args[1], Integer.parseInt(args[2]), Integer.parseInt(args[3])); break;
 			case "rgb2gray": rgb2gray(args[1]); break;
 			case "sheardbg": shearDbg(args[1], Double.parseDouble(args[2]), args[3]); break;
+			case "benchscan": benchScan(args[1], Integer.parseInt(args[2])); break;
 			default: throw new IllegalArgumentException(args[0]);
 		}
 	}
@@ -531,6 +532,44 @@ public class GoldenDump
 		int[] b = buf.getBuffer();
 		for (int i = 0; i < b.length; i++) w.println(b[i]);
 		w.close();
+	}
+
+	// Reference single-node throughput: learn once, then loadPage+scan every
+	// PNG in a directory `reps` times (the same work our media-span kernel
+	// performs per page). Prints pages/sec after a warmup round.
+	static void benchScan(String dir, int reps) throws Exception
+	{
+		Bitmap sheet = load("/root/reference/src/org/terifan/ocr/fonts/arial.png");
+		OCREngine engine = new OCREngine(MS);
+		engine.learnAlphabet("arial", sheet);
+		Settings settings = new Settings();
+		settings.setMaxCharacterSpacing(8.0);
+
+		File[] files = new File(dir).listFiles((d, n) -> n.endsWith(".png"));
+		java.util.Arrays.sort(files);
+		BufferedImage[] images = new BufferedImage[files.length];
+		for (int i = 0; i < files.length; i++) images[i] = ImageIO.read(files[i]);
+
+		// warmup (JIT)
+		for (BufferedImage img : images)
+		{
+			engine.loadPage(new Page(new Bitmap(img)), settings);
+			engine.scan(0, 0, 1, 1, new SimpleResolver());
+		}
+		long t0 = System.nanoTime();
+		int n = 0;
+		for (int r = 0; r < reps; r++)
+		{
+			for (BufferedImage img : images)
+			{
+				engine.loadPage(new Page(new Bitmap(img)), settings);
+				engine.scan(0, 0, 1, 1, new SimpleResolver());
+				n++;
+			}
+		}
+		double sec = (System.nanoTime() - t0) / 1e9;
+		System.out.println("pages=" + n + " sec=" + String.format("%.2f", sec)
+			+ " pages_per_sec=" + String.format("%.1f", n / sec));
 	}
 
 	// F7: gen-2 Sobel filter (ocr2/ConvolutionalClassifier.filerImage, private -> reflection).
