@@ -315,6 +315,26 @@ def _q_lsh_topk(spark, sf_dir):
     return bucketed_topk(_read(spark, sf_dir, "embeddings"))
 
 
+def _q_emb_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: all pairs above a cosine
+    threshold. Brute-force form for the oracle; the scale path applies the
+    same predicate after the sign-LSH/IVF candidate join."""
+    from ocr_spark.functions.similarity import with_norms
+
+    base = with_norms(_read(spark, sf_dir, "embeddings"))
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+    sim = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    ) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .where(F.col("sim") > 0.3)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim_r4"))
+    )
+
+
 def _q_lang_ngram(spark, sf_dir):
     """Non-SQL-expressible (hashed char-trigram profiles in a pandas UDF):
     statistical language ID; correctness contract in tests/test_functions.py."""
@@ -349,6 +369,16 @@ def _q_image_features(spark, sf_dir):
     corpus = _synth_corpus("tiny")
     media = spark.read.parquet(f"{corpus}/media.parquet")
     return image_features(media)
+
+
+def _q_image_resize(spark, sf_dir):
+    """Non-SQL-expressible: multimodal batch resize through the Java2D-parity
+    bilinear kernel (decode -> resize -> re-encode per Arrow batch)."""
+    from ocr_spark.functions.multimodal import image_resize
+
+    corpus = _synth_corpus("tiny")
+    media = spark.read.parquet(f"{corpus}/media.parquet")
+    return image_resize(media, 64, 32)
 
 
 def _q_frame_sample(spark, sf_dir):
@@ -391,10 +421,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_cosine_topk,
         "emb_bucket_hist": _q_bucket_hist,
         "emb_lsh_topk": _q_lsh_topk,
+        "emb_near_dups": _q_emb_near_dups,
         "doc_lang_ngram": _q_lang_ngram,
         "emb_ivf_topk": _q_ivf_topk,
         "ocr_extract_spans": _q_ocr_extract,
         "media_image_features": _q_image_features,
+        "media_image_resize": _q_image_resize,
         "video_frame_sample": _q_frame_sample,
     }
 
@@ -666,6 +698,17 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY sim DESC, neighbor_id)::BIGINT AS rnk
                 FROM pairs
             ) WHERE rnk <= 3
+        """,
+        "emb_near_dups": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS vec,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+                FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 4) AS sim_r4
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) > 0.3
         """,
         "emb_bucket_hist": """
             SELECT bucket, COUNT(*)::BIGINT AS n_vecs FROM (

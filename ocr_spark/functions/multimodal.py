@@ -126,3 +126,46 @@ def frame_sample(
             )
 
     return df.select(ref_col, blob_col).mapInPandas(kernel, FRAME_SAMPLE)
+
+
+RESIZED_IMAGE = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("png", T.BinaryType()),
+    ]
+)
+
+
+def image_resize(df: DataFrame, target_w: int, target_h: int,
+                 ref_col: str = "media_ref", blob_col: str = "png") -> DataFrame:
+    """Batch image resize through the bit-exact Java2D-parity kernel
+    (mip-chain halving + bilinear, ocr_spark.kernel.javaimg) — the real
+    decode/transform/encode loop a training pipeline runs before feature
+    extraction. PNG-gray in, PNG-gray out."""
+    from ..kernel.javaimg import java_resize
+    from ..png import encode_gray
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, ws, hs, blobs = [], [], [], []
+            for ref, blob in zip(pdf[ref_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                img = _decode_image(blob)
+                out = np.clip(java_resize(img, target_w, target_h), 0, 255).astype(np.uint8)
+                refs.append(ref)
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+                blobs.append(encode_gray(out))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "png": blobs,
+                }
+            )
+
+    return df.select(ref_col, blob_col).mapInPandas(kernel, RESIZED_IMAGE)
