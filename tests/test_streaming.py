@@ -143,6 +143,11 @@ def test_stateful_sessionize_spans_batches(spark, tmp_path):
     n = t.num_rows
     pq.write_table(t.slice(0, n // 2), os.path.join(stream_dir, "a.parquet"))
     pq.write_table(t.slice(n // 2), os.path.join(stream_dir, "b.parquet"))
+    # the file source orders batches by modification time; pin distinct
+    # mtimes so the halves arrive in event order (the operator's contract is
+    # in-order arrival per source, like log ingestion)
+    os.utime(os.path.join(stream_dir, "a.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(stream_dir, "b.parquet"), (1_700_000_100, 1_700_000_100))
 
     schema = spark.read.parquet(SF_EVENTS).schema
     stream = (
