@@ -238,6 +238,42 @@ def _q_simhash(spark, sf_dir):
     return simhash_bits(_docs(spark, sf_dir))
 
 
+def _q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + pushed range predicates + single agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = "decimal(18,2)"
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").cast(dec) >= F.lit("0.02").cast(dec))
+            & (F.col("l_discount").cast(dec) <= F.lit("0.06").cast(dec))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(dec) * F.col("l_discount").cast(dec))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_events_json(spark, sf_dir):
+    """Semi-structured category: JSON extraction from the props column."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
 def _q_rollup(spark, sf_dir):
     """Grouping-sets category (SURVEY §2.8): ROLLUP over returnflag/linestatus."""
     li = _read(spark, sf_dir, "lineitem")
@@ -413,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_jaccard,
         "simhash_bits": _q_simhash,
+        "q6_forecast_revenue": _q_forecast_revenue,
+        "events_json": _q_events_json,
         "q1_rollup": _q_rollup,
         "nations_intersect": _q_nations_intersect,
         "nations_except": _q_nations_except,
@@ -623,6 +661,23 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN SUM(dt.cnt * bits.contrib) > 0 THEN 1 ELSE 0 END)::BIGINT AS bit
             FROM dt JOIN bits ON dt.token = bits.token
             GROUP BY dt.doc_id, bits.bit_idx
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT CAST(SUM(CAST(l_extendedprice AS {dec}) * CAST(l_discount AS {dec})) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(l_discount AS {dec}) BETWEEN CAST('0.02' AS {dec}) AND CAST('0.06' AS {dec})
+              AND l_quantity < 24
+        """,
+        "events_json": """
+            SELECT event_type,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+            FROM events GROUP BY event_type
         """,
         "q1_rollup": f"""
             SELECT l_returnflag, l_linestatus,
