@@ -197,6 +197,64 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_token_histogram(spark, sf_dir):
+    """Corpus vocabulary stats: top-50 tokens by frequency, deterministic
+    tie-break by token."""
+    from pyspark.sql import Window
+    from ocr_spark.functions.text import tokens
+
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 50)
+        .select("token", "n", "rnk")
+    )
+
+
+def _q_events_funnel(spark, sf_dir):
+    """Behavioral funnel: per user, did view precede click precede purchase
+    (by first-occurrence time); counts per funnel stage reached."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    stage = (
+        F.when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_view") <= F.col("t_click"))
+            & (F.col("t_click") <= F.col("t_purchase")),
+            F.lit(3),
+        )
+        .when(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_view") <= F.col("t_click")),
+            F.lit(2),
+        )
+        .when(F.col("t_view").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        firsts.withColumn("stage", stage.cast("long"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from ocr_spark.functions.dedup import exact_duplicates
 
@@ -443,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_quality,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
+        "token_histogram": _q_token_histogram,
+        "events_funnel": _q_events_funnel,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix3": _q_dedup_prefix,
         "minhash_signatures": _q_minhash,
@@ -611,6 +671,33 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_slice(toks, 1, 3), ' ')) AS fp_prefix3
             FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
             WHERE len(toks) >= 3
+        """,
+        "token_histogram": f"""
+            SELECT token, n, rnk FROM (
+                SELECT token, COUNT(*)::BIGINT AS n,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token)::BIGINT AS rnk
+                FROM (SELECT UNNEST({_SQL_TOKS}) AS token FROM documents)
+                GROUP BY token
+            ) WHERE rnk <= 50
+        """,
+        "events_funnel": """
+            WITH firsts AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                       MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT stage, COUNT(*)::BIGINT AS n_users FROM (
+                SELECT CASE
+                    WHEN t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+                         AND t_view <= t_click AND t_click <= t_purchase THEN 3
+                    WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                         AND t_view <= t_click THEN 2
+                    WHEN t_view IS NOT NULL THEN 1
+                    ELSE 0 END::BIGINT AS stage
+                FROM firsts
+            ) GROUP BY stage
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, COUNT(*)::BIGINT AS dup_count
