@@ -251,3 +251,18 @@ def test_multiclassifier_vote(arial_alphabet):
 
     chars2, agreement2 = classify_vote_batch(mats, vecs, arial_alphabet, weights)
     assert chars2 == chars and (agreement2 == agreement).all()
+
+
+@pytest.mark.parametrize("angle,quality,golden", [
+    (7.5, 2, "rot_spline_q2_7.5.gray.png"),
+    (7.5, 3, "rot_spline_q3_7.5.gray.png"),
+    (12.0, 4, "rot_spline_q4_12.gray.png"),
+    (352.0, 5, "rot_spline_q5_m8.gray.png"),
+])
+def test_bspline_rotation_bit_exact(string3, angle, quality, golden):
+    """P10: quality 2-5 B-spline rotation (the FreeImage port), bit-exact
+    including the background-filled bounding-box padding and the
+    mirror-boundary spline recursions."""
+    from ocr_spark.kernel.rotate import rotate_gray_spline
+
+    assert np.array_equal(rotate_gray_spline(string3, angle, quality), _gold(golden))

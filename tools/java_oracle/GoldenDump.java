@@ -49,6 +49,7 @@ public class GoldenDump
 			case "rgb2gray": rgb2gray(args[1]); break;
 			case "sheardbg": shearDbg(args[1], Double.parseDouble(args[2]), args[3]); break;
 			case "benchscan": benchScan(args[1], Integer.parseInt(args[2])); break;
+			case "rotspline": rotSpline(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
 			default: throw new IllegalArgumentException(args[0]);
 		}
 	}
@@ -532,6 +533,14 @@ public class GoldenDump
 		int[] b = buf.getBuffer();
 		for (int i = 0; i < b.length; i++) w.println(b[i]);
 		w.close();
+	}
+
+	// P10: quality 2-5 B-spline rotation (ImageRotator quality branch).
+	static void rotSpline(String in, double angleDeg, int quality, String out) throws Exception
+	{
+		Bitmap bmp = load(in);
+		BufferedImage rotated = ImageRotator.rotate(bmp.getImage(), angleDeg, quality, 0xFFFFFFFF);
+		ImageIO.write(new Bitmap(rotated).getImage(), "png", new File(out));
 	}
 
 	// Reference single-node throughput: learn once, then loadPage+scan every

@@ -41,5 +41,12 @@ $J sobel "$GOLD/scan_string_9.gray.png" "$GOLD/sobel_string_9.gray.png"
 # INT_RGB -> BYTE_GRAY conversion probe (Bitmap constructor path)
 $J rgb2gray "$GOLD/rgb2gray_probe.json"
 
+# P10 B-spline rotation (quality 2-5)
+$J rotspline "$GOLD/scan_string_3.gray.png" 7.5   2 "$GOLD/rot_spline_q2_7.5.gray.png"
+$J rotspline "$GOLD/scan_string_3.gray.png" 7.5   3 "$GOLD/rot_spline_q3_7.5.gray.png"
+$J rotspline "$GOLD/scan_string_3.gray.png" 12.0  4 "$GOLD/rot_spline_q4_12.gray.png"
+$J rotspline "$GOLD/scan_string_3.gray.png" 352.0 5 "$GOLD/rot_spline_q5_m8.gray.png"
+
 rm -rf "$BUILD"
 echo "aux goldens written to $GOLD"
+
