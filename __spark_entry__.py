@@ -197,6 +197,19 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_token_count_bpe(spark, sf_dir):
+    """BPE-ish token counting: letter runs, digit runs, and single
+    punctuation marks each count as one token (the pre-tokenizer split most
+    BPE vocabularies apply before merges)."""
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+    )
+
+
 def _q_token_histogram(spark, sf_dir):
     """Corpus vocabulary stats: top-50 tokens by frequency, deterministic
     tie-break by token."""
@@ -501,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_quality,
         "doc_lang_id": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
+        "token_count_bpe": _q_token_count_bpe,
         "token_histogram": _q_token_histogram,
         "events_funnel": _q_events_funnel,
         "dedup_exact": _q_dedup_exact,
@@ -671,6 +685,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_slice(toks, 1, 3), ' ')) AS fp_prefix3
             FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
             WHERE len(toks) >= 3
+        """,
+        "token_count_bpe": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
+                   len({_SQL_TOKS})::BIGINT AS n_ws_tokens
+            FROM documents
         """,
         "token_histogram": f"""
             SELECT token, n, rnk FROM (
