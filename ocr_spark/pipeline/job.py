@@ -253,7 +253,6 @@ def extract(
             extract_spans(subset, media, character_spacing, salt=salt)
             .withColumn("bucket", (F.crc32(F.col("doc_id")) % buckets).cast("int"))
             .repartition(max(4 * len(wave), 1), "bucket", "doc_id")
-            .persist()
         )
         mark("plan")
         # dynamic overwrite only replaces partitions present in the new data;
@@ -264,9 +263,16 @@ def extract(
         out.write.mode("overwrite").partitionBy("bucket").parquet(f"{output_dir}/spans")
         mark("write")
 
+        # manifest stats come from READING BACK the written files — cheaper
+        # than persisting the whole output through the write (measured), and
+        # the committed row counts/checksums then describe what actually
+        # landed on storage, not what the plan produced in memory
+        written = spark.read.parquet(f"{output_dir}/spans").where(
+            F.col("bucket").isin(wave)
+        )
         stats = {
             int(r["bucket"]): r
-            for r in out.groupBy("bucket")
+            for r in written.groupBy("bucket")
             .agg(
                 F.countDistinct("doc_id").alias("docs"),
                 F.count(F.lit(1)).alias("spans"),
@@ -284,7 +290,6 @@ def extract(
             )
             .collect()
         }
-        out.unpersist()
         mark("stats")
 
         now = time.strftime("%Y-%m-%dT%H:%M:%S")
