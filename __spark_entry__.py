@@ -588,7 +588,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
-            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'REGION_0'
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
             WHERE s.s_nationkey = c.c_nationkey
             GROUP BY n.n_name
         """,

@@ -64,7 +64,7 @@ def order_revenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
 
 def nation_volume(region: DataFrame, nation: DataFrame, customer: DataFrame,
                   orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
-                  region_name: str = "REGION_0") -> DataFrame:
+                  region_name: str = "ASIA") -> DataFrame:
     """TPC-H Q5 shape: star join through 6 tables, local-supplier condition
     (supplier nation == customer nation), revenue per nation."""
     r = region.where(F.col("r_name") == region_name).select("r_regionkey")

@@ -45,8 +45,11 @@ def _matrix_of(gray: np.ndarray, x: int, y: int, w: int, h: int, n: int) -> np.n
     """extract_matrix memoized by exact crop bytes: repeated glyph imagery
     (rendered corpora, scanned forms, repeated logos) skips the normalize +
     Java-bilinear resize chain entirely. Pure memoization — identical input
-    bytes, identical output."""
-    key = gray[y : y + h, x : x + w].tobytes() + bytes([w & 0xFF, h & 0xFF, n])
+    bytes, identical output. Full dimensions go into the key (two crops with
+    identical pixel bytes but transposed shapes must not collide)."""
+    import struct
+
+    key = gray[y : y + h, x : x + w].tobytes() + struct.pack(">IIB", w, h, n)
     m = _MATRIX_CACHE.get(key)
     if m is None:
         m, _ = extract_matrix(gray, x, y, w, h, n)

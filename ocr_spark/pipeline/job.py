@@ -220,6 +220,15 @@ def extract(
     first wave — the resume-test hook.
     """
     import os as _os
+    import re as _re
+
+    # run_id lands inside a SQL VALUES literal (manifest commit below):
+    # restrict it so a quote/metachar can never abort the run mid-commit
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", run_id):
+        raise ValueError(
+            f"run_id must match [A-Za-z0-9._-]+ (got {run_id!r}); it is "
+            "embedded in the manifest SQL literal and in output paths"
+        )
 
     trace = _os.environ.get("OCR_SPARK_TIMING") == "1"
     marks = [("start", time.perf_counter())]
@@ -266,9 +275,16 @@ def extract(
         # manifest stats come from READING BACK the written files — cheaper
         # than persisting the whole output through the write (measured), and
         # the committed row counts/checksums then describe what actually
-        # landed on storage, not what the plan produced in memory
-        written = spark.read.parquet(f"{output_dir}/spans").where(
-            F.col("bucket").isin(wave)
+        # landed on storage, not what the plan produced in memory. Explicit
+        # schema: a zero-row wave leaves no partition dirs to infer from,
+        # and the empty buckets must still commit (zero-stat) manifest rows.
+        written = (
+            spark.read.schema(
+                "doc_id string, ord int, kind string, text string, "
+                "media_ref string, bucket int"
+            )
+            .parquet(f"{output_dir}/spans")
+            .where(F.col("bucket").isin(wave))
         )
         stats = {
             int(r["bucket"]): r

@@ -35,8 +35,16 @@ def default_alphabet() -> Alphabet:
     from importlib import resources
 
     raw = resources.files("ocr_spark").joinpath("data/arial.gray.png").read_bytes()
+    # per-user 0700 cache dir: a world-writable shared path would let another
+    # local user pre-create the file and silently substitute features
+    import tempfile
+
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"ocr_spark_cache_{os.getuid()}"
+    )
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
     cache = os.path.join(
-        "/tmp", f"ocr_spark_alpha_{hashlib.sha1(raw).hexdigest()[:16]}.npz"
+        cache_dir, f"alpha_{hashlib.sha1(raw).hexdigest()[:16]}.npz"
     )
     if os.path.exists(cache):
         try:

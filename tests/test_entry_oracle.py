@@ -82,6 +82,11 @@ def _assert_equal(name, spark_pdf, duck_pdf):
 ORACLE_NAMES = sorted(entrymod.oracle_sql())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
+# queries whose CORRECT answer is zero rows at test scale; every other
+# oracle match must be non-vacuous (a 0==0 pass hides a broken predicate,
+# e.g. a filter constant that matches nothing in the data)
+EXPECTED_EMPTY = {"dedup_exact", "nations_except"}
+
 
 def test_oracle_covers_queries():
     q = entrymod.queries()
@@ -94,6 +99,8 @@ def test_oracle_parity(spark, duck, name):
     q = entrymod.queries()[name]
     spark_pdf = q(spark, SF_DIR).toPandas()
     duck_pdf = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
+    if name not in EXPECTED_EMPTY:
+        assert len(spark_pdf) > 0, f"{name}: vacuous oracle match (0 rows)"
     _assert_equal(name, spark_pdf, duck_pdf)
 
 
