@@ -459,14 +459,19 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_ocr_extract(spark, sf_dir):
-    """Non-SQL-expressible: the OCR+strip extraction over the deterministic
-    synthesized interleaved corpus (truth known by construction; correctness
-    is enforced by tests/test_pipeline_e2e.py span-equality)."""
+    """Flagship, oracle-checked: the OCR+strip extraction over the
+    deterministic synthesized interleaved corpus. The corpus carries truth by
+    construction (fixtures.synthesize writes expected_spans.parquet from the
+    words it rendered), so the DuckDB twin simply reads the expected table —
+    a full rows+schema+value-hash check of the extraction output."""
     from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media
 
     configure(spark)
     corpus = _synth_corpus("tiny")
-    return extract_spans(read_documents(spark, corpus), read_media(spark, corpus))
+    out = extract_spans(read_documents(spark, corpus), read_media(spark, corpus))
+    return out.select(
+        "doc_id", F.col("ord").cast("long").alias("ord"), "kind", "text", "media_ref"
+    )
 
 
 def _q_image_features(spark, sf_dir):
@@ -899,5 +904,12 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY sim DESC, neighbor_id)::BIGINT AS rnk
                 FROM pairs
             ) WHERE rnk <= 3
+        """,
+        # flagship extraction vs by-construction truth: the synthesized
+        # corpus's expected_spans.parquet is the reference answer (rendered
+        # words + pre-strip sentences), so the oracle is a plain read of it
+        "ocr_extract_spans": f"""
+            SELECT doc_id, CAST(ord AS BIGINT) AS ord, kind, text, media_ref
+            FROM read_parquet('{_synth_corpus("tiny")}/expected_spans.parquet')
         """,
     }
