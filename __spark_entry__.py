@@ -442,6 +442,15 @@ def _q_emb_near_dups(spark, sf_dir):
     )
 
 
+def _q_emb_near_dups_lsh(spark, sf_dir):
+    """Scale path for near-dup detection: sign-LSH bucket candidates ->
+    exact cosine re-check. Equi-join on bucket, no cartesian in the plan
+    (tools/plan_audit.py asserts 0 broadcast-nested-loop nodes)."""
+    from ocr_spark.functions.similarity import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(_read(spark, sf_dir, "embeddings"))
+
+
 def _q_lang_ngram(spark, sf_dir):
     """Non-SQL-expressible (hashed char-trigram profiles in a pandas UDF):
     statistical language ID; correctness contract in tests/test_functions.py."""
@@ -539,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_bucket_hist": _q_bucket_hist,
         "emb_lsh_topk": _q_lsh_topk,
         "emb_near_dups": _q_emb_near_dups,
+        "emb_near_dups_lsh": _q_emb_near_dups_lsh,
         "doc_lang_ngram": _q_lang_ngram,
         "emb_ivf_topk": _q_ivf_topk,
         "ocr_extract_spans": _q_ocr_extract,
@@ -875,6 +885,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 4) AS sim_r4
             FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) > 0.3
+        """,
+        "emb_near_dups_lsh": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS vec,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+                       CAST(list_sum(list_transform(generate_series(0, 7),
+                            d -> CASE WHEN embedding[d + 1] > 0
+                                      THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 4) AS sim_r4
+            FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) > 0.3
         """,
         "emb_bucket_hist": """

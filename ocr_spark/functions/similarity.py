@@ -111,20 +111,62 @@ def bucketed_topk(
     )
 
 
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale-safe embedding near-duplicate pairs: sign-LSH bucket equi-join
+    generates candidates (docs in the same bucket only), then the exact
+    cosine predicate re-checks each candidate. The plan contains no cartesian
+    / broadcast-nested-loop node — the join is a plain shuffle equi-join on
+    ``bucket``, so at 10^12 rows cost is sum of squared bucket sizes, not
+    n^2. Approximate by design: cross-bucket near-dups are missed (recall
+    rises with fewer bits / multiple bucket tables). Output:
+    (vec_a, vec_b, sim_r4), same shape as the brute-force oracle form."""
+    base = with_norms(df, vec_col, id_col).join(
+        sign_buckets(df, n_bits, vec_col, id_col), id_col
+    )
+    a = base.select(
+        F.col(id_col).alias("vec_a"), F.col("vec").alias("va"),
+        F.col("norm").alias("na"), "bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("norm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    sim = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("sim", sim)
+        .where(F.col("sim") > threshold)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim_r4"))
+    )
+
+
 def train_ivf_centroids(df, n_clusters: int = 16, iters: int = 10,
-                        sample_mod: int = 1, vec_col: str = "embedding",
-                        id_col: str = "vec_id"):
+                        sample_mod: int = 1, sample_cap: int = 4096,
+                        vec_col: str = "embedding", id_col: str = "vec_id"):
     """IVF coarse quantizer: deterministic Lloyd k-means on a driver-side
     sample (standard IVF practice — the quantizer trains on a sample even at
     web scale; assignment below is fully distributed). Deterministic: sample
-    = vec_id % sample_mod == 0, init = first n_clusters sampled vectors in
-    vec_id order, fixed iteration count, no RNG."""
+    = vec_id % sample_mod == 0 capped at the ``sample_cap`` lowest vec_ids,
+    init = first n_clusters sampled vectors in vec_id order, fixed iteration
+    count, no RNG.
+
+    Driver memory is bounded by ``sample_cap`` regardless of table size:
+    orderBy+limit plans as TakeOrdered (per-partition top-K heaps, no full
+    sort), so at 10^12 rows the collect still moves only ``sample_cap``
+    vectors."""
     import numpy as np
 
     rows = (
         df.where(F.col(id_col) % sample_mod == 0)
         .select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(sample_cap)
         .collect()
     )
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -159,7 +201,7 @@ def ivf_assign(df, centroids, vec_col: str = "embedding", id_col: str = "vec_id"
 
 
 def ivf_topk(df, k: int = 3, n_queries: int = 8, n_clusters: int = 16,
-             nprobe: int = 4, sample_mod: int = 1,
+             nprobe: int = 4, sample_mod: int = 1, sample_cap: int = 4096,
              vec_col: str = "embedding", id_col: str = "vec_id"):
     """IVF approximate top-k: queries search only their ``nprobe`` nearest
     inverted lists instead of the whole corpus — the similarity join becomes
@@ -168,7 +210,7 @@ def ivf_topk(df, k: int = 3, n_queries: int = 8, n_clusters: int = 16,
     import numpy as np
 
     C = train_ivf_centroids(df, n_clusters, sample_mod=sample_mod,
-                            vec_col=vec_col, id_col=id_col)
+                            sample_cap=sample_cap, vec_col=vec_col, id_col=id_col)
     assigned = ivf_assign(df, C, vec_col, id_col)
     base = with_norms(df, vec_col, id_col).join(
         assigned.select(id_col, "cluster"), id_col
@@ -181,7 +223,14 @@ def ivf_topk(df, k: int = 3, n_queries: int = 8, n_clusters: int = 16,
         d = ((C - qv[None, :]) ** 2).sum(axis=1)
         for c in np.argsort(d)[:nprobe]:
             probes.append((int(r[0]), int(c)))
-    probe_df = df.sparkSession.createDataFrame(probes, "query_id long, cluster int")
+    # SQL VALUES literal (JVM LocalRelation): a python-list createDataFrame
+    # spins up a Python runner job (~5 s on this box) for a few dozen rows
+    values = ", ".join(
+        f"(CAST({q} AS BIGINT), CAST({c} AS INT))" for q, c in probes
+    ) or "(CAST(NULL AS BIGINT), CAST(NULL AS INT))"
+    probe_df = df.sparkSession.sql(
+        f"SELECT * FROM VALUES {values} AS t(query_id, cluster) WHERE query_id IS NOT NULL"
+    )
 
     q = base.select(
         F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")

@@ -36,6 +36,44 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert recall >= 0.5, f"IVF recall {recall} too low (nprobe=4/16)"
 
 
+def test_ivf_trainer_sample_is_bounded(spark):
+    """Driver-side memory contract: the quantizer trains on at most
+    sample_cap vectors no matter the table size, and a capped sample still
+    yields a working (deterministic) index."""
+    from ocr_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    C = train_ivf_centroids(emb, n_clusters=8, sample_cap=64)
+    assert C.shape == (8, 64)
+    capped = {(r.query_id, r.neighbor_id) for r in
+              ivf_topk(emb, n_clusters=8, sample_cap=64).collect()}
+    assert len(capped) > 0
+
+
+def test_near_dup_lsh_plan_has_no_cartesian(spark):
+    """The committed near-dup scale path must be a bucket equi-join:
+    any BroadcastNestedLoopJoin/CartesianProduct in the plan means the
+    candidate generation degenerated to all-pairs."""
+    from ocr_spark.functions.similarity import near_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = near_dup_pairs_lsh(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_near_dup_lsh_subset_of_brute_force(spark):
+    """LSH-gated near-dups are exactly the brute-force pairs that share a
+    sign bucket: a subset, with identical sims on the intersection."""
+    import __spark_entry__ as entrymod
+
+    brute = {(r.vec_a, r.vec_b): r.sim_r4
+             for r in entrymod.queries()["emb_near_dups"](spark, SF).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.sim_r4
+           for r in entrymod.queries()["emb_near_dups_lsh"](spark, SF).collect()}
+    assert set(lsh) <= set(brute)
+    assert all(brute[k] == v for k, v in lsh.items())
+
+
 def test_sign_lsh_finds_planted_near_duplicate(spark):
     """The LSH promise: a vector similar enough to share all sign bits lands
     in the same bucket and is retrieved as the top neighbor. (Random 64-dim

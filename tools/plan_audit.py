@@ -16,7 +16,8 @@ SF = "/root/testdata/sf0.01"
 
 AUDIT = ["q1_pricing_summary","q3_order_revenue","q5_nation_volume","brand_volume",
          "events_sessionize","doc_quality","minhash_signatures","ngram_jaccard",
-         "simhash_bits","emb_cosine_topk","emb_lsh_topk","winnow_fingerprints","q1_rollup","nations_except"]
+         "simhash_bits","emb_cosine_topk","emb_lsh_topk","emb_near_dups_lsh",
+         "winnow_fingerprints","q1_rollup","nations_except"]
 q = e.queries()
 for name in AUDIT:
     df = q[name](spark, SF)
@@ -31,7 +32,8 @@ for name in AUDIT:
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     n_py = len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapsInPandas|MapInPandas", plan))
-    print(f"== {name}: exchanges={n_exch} bcastJoin={n_bhj} shuffleJoin={n_smj} codegen={n_wsc} pythonNodes={n_py}")
+    n_cart = len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan))
+    print(f"== {name}: exchanges={n_exch} bcastJoin={n_bhj} shuffleJoin={n_smj} codegen={n_wsc} pythonNodes={n_py} cartesian={n_cart}")
     for p in pushed[:4]:
         print(f"   pushed: [{p[:100]}]")
     for s in schemas[:4]:
