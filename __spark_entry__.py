@@ -34,6 +34,17 @@ _SQL_SHINGLES = f"""
         FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
     )
 """
+# document-frequency ceiling for the dedup self-joins: a web-scale
+# stop-phrase shingle (or the LSH bucket it spawns) shared by 10^6 docs
+# would otherwise explode one join group to ~10^12 pairs. Applied
+# identically on the Spark and DuckDB sides.
+_DF_MAX = 100
+
+_SQL_SHINGLES_CAPPED = """
+    SELECT * FROM sh0 WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > {df_max})
+"""
+
 _SQL_MINHASH = f"""
     SELECT doc_id, band::BIGINT AS band,
            MIN(md5(band::VARCHAR || '|' || shingle)) AS minhash
@@ -294,13 +305,15 @@ def _q_minhash(spark, sf_dir):
 def _q_lsh_pairs(spark, sf_dir):
     from ocr_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
-    return lsh_candidate_pairs(minhash_signatures(shingles(_docs(spark, sf_dir))))
+    return lsh_candidate_pairs(
+        minhash_signatures(shingles(_docs(spark, sf_dir))), bucket_max=_DF_MAX
+    )
 
 
 def _q_jaccard(spark, sf_dir):
     from ocr_spark.functions.dedup import jaccard_pairs, shingles
 
-    return jaccard_pairs(shingles(_docs(spark, sf_dir)))
+    return jaccard_pairs(shingles(_docs(spark, sf_dir)), df_max=_DF_MAX)
 
 
 def _q_simhash(spark, sf_dir):
@@ -747,13 +760,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _SQL_MINHASH,
         "lsh_candidate_pairs": f"""
-            WITH sig AS ({_SQL_MINHASH})
+            WITH sig0 AS ({_SQL_MINHASH}),
+            hot AS (SELECT band, minhash FROM sig0
+                    GROUP BY 1, 2 HAVING COUNT(*) > {_DF_MAX}),
+            sig AS (SELECT sig0.* FROM sig0 ANTI JOIN hot USING (band, minhash))
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sig a JOIN sig b
               ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
         """,
         "ngram_jaccard": f"""
-            WITH sh AS ({_SQL_SHINGLES}),
+            WITH sh0 AS ({_SQL_SHINGLES}),
+            sh AS ({_SQL_SHINGLES_CAPPED.format(df_max=_DF_MAX)}),
             sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common

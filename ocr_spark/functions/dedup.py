@@ -74,10 +74,39 @@ def minhash_signatures(sh: DataFrame, bands: int = 4, id_col: str = "doc_id") ->
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def cap_shingle_df(sh: DataFrame, df_max: int, id_col: str = "doc_id") -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``df_max`` (web-scale
+    stop-phrases: a shingle shared by 10^6 docs would explode the self-join
+    group to ~10^12 pairs). Standard MinHashLSH practice — such a shingle
+    carries no near-dup signal (any Jaccard above a useful threshold implies
+    many OTHER shared shingles too). The hot set is tiny by definition, so
+    it broadcasts and the cap costs one hash-agg + a broadcast anti-join."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > df_max)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def lsh_candidate_pairs(sig: DataFrame, bucket_max: int | None = None,
+                        id_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
     Equi-join on the bucket key — no cartesian product; skew-resistant
-    because md5 buckets are uniform. Output: (doc_a, doc_b) distinct."""
+    because md5 buckets are uniform. ``bucket_max`` drops degenerate buckets
+    holding more than that many docs before the self-join (a bucket of B
+    docs emits B^2/2 pairs; such buckets only arise from stop-phrase
+    shingles, which carry no near-dup signal). Output: (doc_a, doc_b)
+    distinct."""
+    if bucket_max is not None:
+        hot = (
+            sig.groupBy("band", "minhash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > bucket_max)
+            .select("band", "minhash")
+        )
+        sig = sig.join(F.broadcast(hot), ["band", "minhash"], "left_anti")
     a = sig.select(F.col(id_col).alias("doc_a"), "band", "minhash")
     b = sig.select(F.col(id_col).alias("doc_b"), "band", "minhash")
     return (
@@ -88,11 +117,18 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def jaccard_pairs(sh: DataFrame, min_common: int = 2, id_col: str = "doc_id") -> DataFrame:
+def jaccard_pairs(sh: DataFrame, min_common: int = 2, df_max: int | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
     """n-gram Jaccard similarity for every doc pair sharing >= min_common
     shingles. The shingle equi-join only materializes co-occurring pairs;
     per-doc set sizes are broadcast back via two cheap aggregations.
+
+    ``df_max`` applies cap_shingle_df first, so Jaccard is computed over the
+    DF-capped shingle space (numerator AND denominators) — the self-join
+    group per shingle is then bounded by df_max at any corpus size.
     Output: (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
+    if df_max is not None:
+        sh = cap_shingle_df(sh, df_max, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

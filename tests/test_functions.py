@@ -97,6 +97,47 @@ def test_sign_lsh_finds_planted_near_duplicate(spark):
     assert (0, 99990, 1) in got  # same signs -> same bucket -> top-1 by cosine
 
 
+def test_shingle_df_cap_bounds_hot_join_groups(spark):
+    """Skew fixture: one stop-phrase shingle shared by 30% of docs. With the
+    DF cap the hot shingle contributes no pairs (its join group is dropped
+    before the self-join), while genuinely shared rare shingles survive —
+    so pair count stays bounded by df_max^2 per shingle at any scale."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.dedup import (
+        cap_shingle_df, jaccard_pairs, lsh_candidate_pairs,
+        minhash_signatures, shingles,
+    )
+
+    n_docs, hot_frac = 100, 0.3
+    rows = []
+    for i in range(n_docs):
+        body = f"unique{i}a unique{i}b unique{i}c unique{i}d"
+        if i < int(n_docs * hot_frac):
+            body += " click here to subscribe"
+        rows.append((f"d{i:03d}", body))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    sh = shingles(docs)
+
+    hot_df = int(n_docs * hot_frac)
+    capped = cap_shingle_df(sh, df_max=hot_df - 1)
+    # every surviving shingle's doc frequency is under the cap
+    max_df = (
+        capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_df < hot_df
+
+    # uncapped: the hot shingle alone emits ~(0.3n)^2/2 pairs; capped: none
+    assert jaccard_pairs(sh, min_common=1).count() >= hot_df * (hot_df - 1) // 2
+    assert jaccard_pairs(sh, min_common=1, df_max=hot_df - 1).count() == 0
+
+    sig = minhash_signatures(sh)
+    assert lsh_candidate_pairs(sig).count() > 0  # hot buckets fire uncapped
+    # bucket_max=1 drops every bucket holding >1 doc, so no pairs survive —
+    # proves any bucket above the ceiling is excluded before the self-join
+    assert lsh_candidate_pairs(sig, bucket_max=1).count() == 0
+
+
 def test_lang_id_ngram(spark):
     from pyspark.sql import functions as F
 
