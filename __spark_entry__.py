@@ -465,8 +465,10 @@ def _q_emb_near_dups_lsh(spark, sf_dir):
 
 
 def _q_lang_ngram(spark, sf_dir):
-    """Non-SQL-expressible (hashed char-trigram profiles in a pandas UDF):
-    statistical language ID; correctness contract in tests/test_functions.py."""
+    """Statistical language ID (hashed char-trigram profiles, Arrow-batched
+    pandas UDF). Oracle-checked: the DuckDB twin rebuilds the same profiles
+    from the committed seed sentences and replays hash/log1p/cosine/argmax
+    in SQL (documents are ASCII, so ord(char) == utf-8 byte)."""
     from ocr_spark.functions.text import lang_id_ngram
 
     return lang_id_ngram(_docs(spark, sf_dir))
@@ -497,7 +499,10 @@ def _q_ocr_extract(spark, sf_dir):
 
 
 def _q_image_features(spark, sf_dir):
-    """Non-SQL-expressible: multimodal binary-column decode/feature plumbing."""
+    """Multimodal decode + feature extraction, oracle-checked: the corpus
+    media table carries by-construction ink stats (computed on the raster
+    before PNG encoding), so the distributed decode->mask->feature path is
+    verified value-for-value against codec-independent truth."""
     from ocr_spark.functions.multimodal import image_features
 
     corpus = _synth_corpus("tiny")
@@ -506,13 +511,17 @@ def _q_image_features(spark, sf_dir):
 
 
 def _q_image_resize(spark, sf_dir):
-    """Non-SQL-expressible: multimodal batch resize through the Java2D-parity
-    bilinear kernel (decode -> resize -> re-encode per Arrow batch)."""
-    from ocr_spark.functions.multimodal import image_resize
+    """Multimodal batch resize through the Java2D-parity bilinear kernel,
+    committed in round-trip form: resize -> re-encode -> DECODE the emitted
+    PNG -> measure. The oracle predicts the round-tripped dimensions per
+    media_ref, so a broken encode or decode cannot pass. (Pixel-level resize
+    correctness is covered by the bit-exact javaimg goldens.)"""
+    from ocr_spark.functions.multimodal import image_features, image_resize
 
     corpus = _synth_corpus("tiny")
     media = spark.read.parquet(f"{corpus}/media.parquet")
-    return image_resize(media, 64, 32)
+    resized = image_resize(media, 64, 32)
+    return image_features(resized).select("media_ref", "width", "height")
 
 
 def _q_frame_sample(spark, sf_dir):
@@ -569,6 +578,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_resize": _q_image_resize,
         "video_frame_sample": _q_frame_sample,
     }
+
+
+def _lang_ngram_oracle_sql() -> str:
+    """DuckDB twin of functions/text.lang_id_ngram: rebuild the trigram
+    profiles from the same committed seed sentences, hash trigrams with the
+    same 31-base rolling polynomial mod 4096, log1p-weight, and take the
+    cosine argmax with the same language-order tie-break. documents text is
+    ASCII (asserted by the match itself), so ord(char) == utf-8 byte."""
+    from ocr_spark.functions.text import _LANG_SEED_TEXT, _NGRAM_DIM
+
+    seeds_values = ", ".join(
+        f"('{lang}', {i + 1}, '{s}')"
+        for i, (lang, s) in enumerate(_LANG_SEED_TEXT.items())
+    )
+    tri = (
+        "(ord(substr(t, i, 1))*961 + ord(substr(t, i+1, 1))*31 "
+        f"+ ord(substr(t, i+2, 1))) % {_NGRAM_DIM}"
+    )
+    return f"""
+        WITH seeds(lang, ord_rank, s) AS (VALUES {seeds_values}),
+        st AS (SELECT lang, ord_rank, ' ' || lower(s) || ' ' AS t FROM seeds),
+        seed_tri AS (
+            SELECT lang, {tri} AS h, COUNT(*)::BIGINT AS c
+            FROM st, UNNEST(generate_series(1, length(t) - 2)) AS g(i)
+            GROUP BY 1, 2
+        ),
+        prof AS (SELECT lang, h, ln(1.0 + c) AS w FROM seed_tri),
+        prof_norm AS (SELECT lang, sqrt(SUM(w * w)) AS nrm FROM prof GROUP BY 1),
+        dt AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+        doc_tri AS (
+            SELECT doc_id, {tri} AS h, COUNT(*)::BIGINT AS c
+            FROM dt, UNNEST(generate_series(1, length(t) - 2)) AS g(i)
+            GROUP BY 1, 2
+        ),
+        doc_vec AS (SELECT doc_id, h, ln(1.0 + c) AS w FROM doc_tri),
+        doc_norm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM doc_vec GROUP BY 1),
+        dots AS (
+            SELECT d.doc_id, p.lang, SUM(d.w * p.w) AS dot
+            FROM doc_vec d JOIN prof p USING (h) GROUP BY 1, 2
+        ),
+        scores AS (
+            SELECT dn.doc_id, s.lang, s.ord_rank,
+                   COALESCE(dots.dot, 0.0) / (dn.nrm * pn.nrm) AS cos
+            FROM doc_norm dn
+            CROSS JOIN seeds s
+            JOIN prof_norm pn ON pn.lang = s.lang
+            LEFT JOIN dots ON dots.doc_id = dn.doc_id AND dots.lang = s.lang
+        ),
+        best AS (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cos DESC, ord_rank) AS rn
+            FROM scores
+        )
+        SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -953,4 +1020,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(ord AS BIGINT) AS ord, kind, text, media_ref
             FROM read_parquet('{_synth_corpus("tiny")}/expected_spans.parquet')
         """,
+        # decode->feature path vs by-construction ink stats (computed on the
+        # raster before PNG encoding — codec-independent truth)
+        "media_image_features": f"""
+            SELECT media_ref, CAST(width AS BIGINT) AS width,
+                   CAST(height AS BIGINT) AS height, ink_ratio, n_ink_rows
+            FROM read_parquet('{_synth_corpus("tiny")}/media.parquet')
+        """,
+        # resize round trip: every non-null page must come back from
+        # resize->encode->decode at exactly the target dimensions
+        "media_image_resize": f"""
+            SELECT media_ref, CAST(64 AS BIGINT) AS width,
+                   CAST(32 AS BIGINT) AS height
+            FROM read_parquet('{_synth_corpus("tiny")}/media.parquet')
+            WHERE png IS NOT NULL
+        """,
+        "doc_lang_ngram": _lang_ngram_oracle_sql(),
     }

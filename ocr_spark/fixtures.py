@@ -27,6 +27,10 @@ from .png import decode_gray, encode_gray
 
 SEED = 1337
 
+# bump when the corpus schema/content changes: ensure_corpus regenerates any
+# cached dir whose _DONE marker carries an older version
+FIXTURE_VERSION = 2
+
 # validated: each word round-trips render -> segment -> classify exactly
 # (glyphs i j l m w W X 0 and thin punctuation excluded — the reference
 # engine itself misreads them, e.g. 'm' -> 'rn', '0' -> 'o')
@@ -116,6 +120,7 @@ def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
 
     # --- media pool -----------------------------------------------------
     media_refs, widths, heights, pngs, truths = [], [], [], [], []
+    ink_ratios, ink_rows = [], []
     for p in range(n_pages):
         n_words = int(rng.integers(1, 5))
         words = [str(w) for w in rng.choice(WORDLIST, size=n_words)]
@@ -125,6 +130,13 @@ def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
         widths.append(page.shape[1])
         pngs.append(encode_gray(page))
         truths.append(" ".join(words))
+        # by-construction ink stats, computed on the raster BEFORE png
+        # encoding — the oracle for the decode->feature path (same formulas
+        # as functions/multimodal.image_features, but this side never goes
+        # through the codec, so a broken decode cannot cancel out)
+        mask = black_mask(page)
+        ink_ratios.append(round(float(mask.mean()), 6))
+        ink_rows.append(int(mask.any(axis=1).sum()))
 
     # --- documents + expected spans -------------------------------------
     doc_ids, spans_col = [], []
@@ -186,6 +198,8 @@ def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
             "height": pa.array(heights, pa.int32()),
             "png": pa.array(pngs, pa.binary()),
             "truth": truths,
+            "ink_ratio": pa.array(ink_ratios, pa.float64()),
+            "n_ink_rows": pa.array(ink_rows, pa.int64()),
         }
     )
     expected = pa.table(
@@ -216,8 +230,13 @@ def ensure_corpus(out_dir: str, scale: str = "tiny", skew: bool = False, seed: i
     entry()/bench.py. A `_DONE` marker commits the directory (write is not
     atomic, so a half-written dir without the marker is regenerated)."""
     marker = os.path.join(out_dir, "_DONE")
-    if not os.path.exists(marker):
+    want = f"v{FIXTURE_VERSION} {scale} skew={skew} seed={seed}\n"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read()
+    if have != want:
         write_corpus(out_dir, skew=skew, seed=seed, **SCALES[scale])
         with open(marker, "w") as f:
-            f.write(f"{scale} skew={skew} seed={seed}\n")
+            f.write(want)
     return out_dir
