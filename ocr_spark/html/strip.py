@@ -8,9 +8,9 @@ no per-row Python in the hot path.
 
 Pipeline per batch:
   1. drop <script>/<style>/<noscript>/<template> subtrees and comments
-  2. drop boilerplate containers (<nav>/<footer>/<header>/<aside>/<form>)
-     — non-nested containers, the overwhelmingly common case; a nested
-     same-tag container degrades gracefully (outer open to first close)
+  2. drop boilerplate containers (<nav>/<footer>/<header>/<aside>/<form>),
+     innermost-first to fixpoint — nested same-tag containers are peeled
+     inside-out, so no container tail ever leaks into block scoring
   3. split the remainder into blocks at block-level tags
   4. per block (exploded, still vectorized): word count and link density
      (words inside <a> anchors / total words)
@@ -31,7 +31,10 @@ _DROP_SUBTREES = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_CONTAINERS = re.compile(
-    r"<(nav|footer|header|aside|form)\b[^>]*>.*?</\1\s*>",
+    # innermost-first: a container matches only if it holds no same-tag
+    # opener, so nested <nav>..<nav>..</nav>..</nav> is peeled inside-out
+    # by the fixpoint loop in _drop_containers (no tail leakage)
+    r"<(nav|footer|header|aside|form)\b[^>]*>(?:(?!<\1\b).)*?</\1\s*>",
     re.IGNORECASE | re.DOTALL,
 )
 _BLOCK_SPLIT = re.compile(
@@ -51,6 +54,20 @@ _ENTITIES = [
     ("&#39;", "'"),
     ("&amp;", "&"),  # last, so &amp;lt; doesn't double-decode
 ]
+
+
+def _drop_containers(s: pd.Series) -> pd.Series:
+    """Remove boilerplate containers to fixpoint, still fully vectorized:
+    each pass strips every innermost container, so K passes handle K-deep
+    same-tag nesting (real web HTML nests navs in headers routinely). The
+    pass cap only bounds pathological inputs; normal HTML converges in the
+    nesting depth."""
+    for _ in range(10):
+        s2 = s.str.replace(_DROP_CONTAINERS, " ", regex=True)
+        if s2.equals(s):
+            break
+        s = s2
+    return s
 
 
 def _clean_text(s: pd.Series) -> pd.Series:
@@ -75,7 +92,7 @@ def strip_html(
     s = html[notnull].astype(str)
 
     s = s.str.replace(_DROP_SUBTREES, " ", regex=True)
-    s = s.str.replace(_DROP_CONTAINERS, " ", regex=True)
+    s = _drop_containers(s)
 
     bf = s.str.split(_BLOCK_SPLIT).explode().rename("block").reset_index()
     bf.columns = ["doc", "block"]

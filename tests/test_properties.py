@@ -102,6 +102,30 @@ def test_strip_html_idempotent_on_plain_text(seed):
     assert twice == once
 
 
+def test_strip_html_nested_same_tag_containers():
+    """Nested same-tag boilerplate must be removed whole: with a lazy
+    open-to-first-close match, the tail of the outer container (here the
+    'leaked menu tail items' list) would survive into block scoring."""
+    import pandas as pd
+
+    from ocr_spark.html.strip import strip_html
+
+    html = (
+        "<html><body>"
+        "<nav>outer menu start <nav>inner menu items here</nav>"
+        "<p>leaked menu tail items would score as content</p></nav>"
+        "<p>the actual main content sentence</p>"
+        "<footer>a<footer>b</footer>c</footer>"
+        "</body></html>"
+    )
+    out = strip_html(pd.Series([html]))[0]
+    assert out == "the actual main content sentence"
+
+    # triple nesting converges too (fixpoint, not a fixed pass count)
+    deep = "<nav>a<nav>b<nav>c</nav>d</nav><p>nav tail junk here</p></nav><p>keep this main text</p>"
+    assert strip_html(pd.Series([deep]))[0] == "keep this main text"
+
+
 def test_winnowing_guarantee():
     """Any shared run of k+w-1 tokens yields at least one shared fingerprint
     (the winnowing guarantee), checked kernel-side with pandas semantics."""
