@@ -524,6 +524,17 @@ def _q_image_resize(spark, sf_dir):
     return image_features(resized).select("media_ref", "width", "height")
 
 
+def _q_audio_features(spark, sf_dir):
+    """Audio modality: PCM16 WAV decode (stdlib wave, real codec) -> per-clip
+    stats. Oracle-checked against the corpus audio table's by-construction
+    stats (computed on the samples before encoding)."""
+    from ocr_spark.functions.multimodal import audio_features
+
+    corpus = _synth_corpus("tiny")
+    audio = spark.read.parquet(f"{corpus}/audio.parquet")
+    return audio_features(audio)
+
+
 def _q_frame_sample(spark, sf_dir):
     """Non-SQL-expressible: video frame-sampling plumbing (deterministic fake
     decode; real codec stubbed per container limits)."""
@@ -576,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_extract_spans": _q_ocr_extract,
         "media_image_features": _q_image_features,
         "media_image_resize": _q_image_resize,
+        "media_audio_features": _q_audio_features,
         "video_frame_sample": _q_frame_sample,
     }
 
@@ -1036,4 +1048,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE png IS NOT NULL
         """,
         "doc_lang_ngram": _lang_ngram_oracle_sql(),
+        # decode->feature path vs by-construction sample stats (computed on
+        # the int16 samples before WAV encoding — codec-independent truth)
+        "media_audio_features": f"""
+            SELECT media_ref, sample_rate, n_samples, duration_s, rms, n_zero_cross
+            FROM read_parquet('{_synth_corpus("tiny")}/audio.parquet')
+        """,
     }

@@ -29,7 +29,7 @@ SEED = 1337
 
 # bump when the corpus schema/content changes: ensure_corpus regenerates any
 # cached dir whose _DONE marker carries an older version
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 # validated: each word round-trips render -> segment -> classify exactly
 # (glyphs i j l m w W X 0 and thin punctuation excluded — the reference
@@ -214,6 +214,54 @@ def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
     return documents, media, expected
 
 
+def synthesize_audio(n_clips: int, seed: int = SEED, sample_rate: int = 8000):
+    """Deterministic PCM16 WAV clips (stdlib ``wave`` — no external codec)
+    with by-construction stats computed on the int16 samples BEFORE
+    encoding, so the decode->feature path has a codec-independent oracle
+    (same pattern as the media ink stats)."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed + 7)
+    refs, wavs, srs, n_samps, durs, rmss, zcs = [], [], [], [], [], [], []
+    for i in range(n_clips):
+        n = int(rng.integers(sample_rate // 4, sample_rate))
+        t = np.arange(n, dtype=np.float64) / sample_rate
+        freq = float(rng.uniform(80.0, 1200.0))
+        amp = float(rng.uniform(0.2, 0.9))
+        sig = amp * np.sin(2.0 * np.pi * freq * t)
+        sig += rng.normal(0.0, 0.02, size=n)  # deterministic (seeded) noise
+        x = np.clip(sig * 32767.0, -32768, 32767).astype(np.int16)
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(x.tobytes())
+
+        refs.append(f"au-{i:06d}")
+        wavs.append(buf.getvalue())
+        srs.append(sample_rate)
+        n_samps.append(n)
+        durs.append(round(n / sample_rate, 6))
+        xf = x.astype(np.float64)
+        rmss.append(round(float(np.sqrt(np.mean(xf * xf))), 6))
+        zcs.append(int(np.sum((x[1:] < 0) != (x[:-1] < 0))))
+
+    return pa.table(
+        {
+            "media_ref": refs,
+            "wav": pa.array(wavs, pa.binary()),
+            "sample_rate": pa.array(srs, pa.int64()),
+            "n_samples": pa.array(n_samps, pa.int64()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rmss, pa.float64()),
+            "n_zero_cross": pa.array(zcs, pa.int64()),
+        }
+    )
+
+
 def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
     documents, media, expected = synthesize(n_docs, n_pages, skew=skew, seed=seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -222,6 +270,8 @@ def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False, se
     pq.write_table(documents, os.path.join(out_dir, "documents.parquet"), row_group_size=1024)
     pq.write_table(media, os.path.join(out_dir, "media.parquet"), row_group_size=512)
     pq.write_table(expected, os.path.join(out_dir, "expected_spans.parquet"))
+    audio = synthesize_audio(max(8, n_pages // 2), seed=seed)
+    pq.write_table(audio, os.path.join(out_dir, "audio.parquet"), row_group_size=512)
     return documents.num_rows, media.num_rows, expected.num_rows
 
 

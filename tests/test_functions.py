@@ -138,6 +138,41 @@ def test_shingle_df_cap_bounds_hot_join_groups(spark):
     assert lsh_candidate_pairs(sig, bucket_max=1).count() == 0
 
 
+def test_audio_features_decode_contract(spark):
+    """WAV decode correctness on a hand-built clip with known stats: a pure
+    square wave has rms == amplitude and one zero-crossing per half period."""
+    import io
+    import wave
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ocr_spark.functions.multimodal import audio_features
+
+    sr, n, amp, period = 8000, 4000, 1000, 80
+    x = (amp * (1 - 2 * ((np.arange(n) // (period // 2)) % 2))).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    df = spark.createDataFrame([("clip", bytearray(buf.getvalue()))],
+                               "media_ref string, wav binary")
+    r = audio_features(df).collect()[0]
+    assert r.sample_rate == sr and r.n_samples == n
+    assert r.duration_s == round(n / sr, 6)
+    assert r.rms == float(amp)
+    assert r.n_zero_cross == n // (period // 2) - 1
+
+    # non-WAV bytes are an honest NotImplementedError, not silent garbage
+    import pytest as _pytest
+    bad = spark.createDataFrame([("x", bytearray(b"\x00" * 64))],
+                                "media_ref string, wav binary")
+    with _pytest.raises(Exception, match="NotImplementedError|non-WAV"):
+        audio_features(bad).collect()
+
+
 def test_lang_id_ngram(spark):
     from pyspark.sql import functions as F
 
