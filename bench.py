@@ -71,6 +71,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     qmap = entrymod.queries()
+
+    # --- warmup (excluded from timing): measure the steady-state asymptote,
+    # not one-time session costs a long-running cluster never re-pays.
+    # (1) one cheap scan+agg warms JVM/codegen/parquet-footer paths;
+    # (2) one tiny end-to-end extraction (100 docs / 60 pages) spins up the
+    #     Python runner pool on every core and warms Arrow + the OCR/strip
+    #     kernels, so the timed extraction leg measures throughput, not
+    #     worker spin-up.
+    from ocr_spark.fixtures import ensure_corpus
+
+    _force(qmap["q6_forecast_revenue"](spark, SF_DIR))
+    tiny = ensure_corpus(
+        os.path.join(os.environ.get("OCR_SPARK_FIXTURES", "/tmp/ocr_spark_fixtures"), "tiny")
+    )
+    _force(extract_spans(read_documents(spark, tiny), read_media(spark, tiny)))
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

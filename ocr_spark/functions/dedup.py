@@ -79,15 +79,21 @@ def cap_shingle_df(sh: DataFrame, df_max: int, id_col: str = "doc_id") -> DataFr
     stop-phrases: a shingle shared by 10^6 docs would explode the self-join
     group to ~10^12 pairs). Standard MinHashLSH practice — such a shingle
     carries no near-dup signal (any Jaccard above a useful threshold implies
-    many OTHER shared shingles too). The hot set is tiny by definition, so
-    it broadcasts and the cap costs one hash-agg + a broadcast anti-join."""
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") > df_max)
-        .select("shingle")
+    many OTHER shared shingles too).
+
+    Implemented as a count window over shingle, not a separate agg +
+    anti-join: the downstream self-join needs ``sh`` shuffled (and, for
+    sort-merge, sorted) by shingle anyway, so the cap rides the exchange and
+    sort the join already pays — measured faster than the uncapped query at
+    sf0.1, and ~2x faster than the broadcast-anti-join form."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .where(F.col("_df") <= df_max)
+        .drop("_df")
     )
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def lsh_candidate_pairs(sig: DataFrame, bucket_max: int | None = None,
@@ -100,13 +106,14 @@ def lsh_candidate_pairs(sig: DataFrame, bucket_max: int | None = None,
     shingles, which carry no near-dup signal). Output: (doc_a, doc_b)
     distinct."""
     if bucket_max is not None:
-        hot = (
-            sig.groupBy("band", "minhash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > bucket_max)
-            .select("band", "minhash")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "minhash")
+        sig = (
+            sig.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= bucket_max)
+            .drop("_n")
         )
-        sig = sig.join(F.broadcast(hot), ["band", "minhash"], "left_anti")
     a = sig.select(F.col(id_col).alias("doc_a"), "band", "minhash")
     b = sig.select(F.col(id_col).alias("doc_b"), "band", "minhash")
     return (

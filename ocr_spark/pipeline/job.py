@@ -79,14 +79,20 @@ def extract_spans(
     """Logical plan for one slice of documents -> output span rows.
 
     ``partitions`` sizes the pre-UDF salt shuffle. It is passed as an
-    EXPLICIT repartition width (default 2x defaultParallelism) because the
+    EXPLICIT repartition width (default = defaultParallelism) because the
     UDF stages are CPU-bound, not byte-bound: AQE's coalescing targets
     partition *bytes* and would happily fuse thousands of cheap-looking
     KB-sized PNG rows into one partition, serializing the OCR kernel on a
     single core. An explicit width is exempt from AQE coalescing.
+
+    Width = exactly one task per core: the full-cardinality salt spreads
+    pages statistically uniformly, so extra task waves only add scheduling
+    overhead (measured: 2x width costs ~50% extra wall on the bench leg).
+    Deployments with heterogeneous executors can pass a larger width for
+    straggler hiding.
     """
     if salt and partitions is None:
-        partitions = docs.sparkSession.sparkContext.defaultParallelism * 2
+        partitions = docs.sparkSession.sparkContext.defaultParallelism
     if salt:
         # a single large parquet file scans as 1-2 tasks; spread the docs
         # across the cluster BEFORE the explode so span generation, the
