@@ -79,6 +79,15 @@ def bucket_histogram(df: DataFrame, n_bits: int = 8, vec_col: str = "embedding",
     )
 
 
+def _bucketed_base(df: DataFrame, n_bits: int, vec_col: str, id_col: str) -> DataFrame:
+    """Shared candidate scaffolding for the sign-LSH paths: (id, vec double,
+    norm, bucket) — the one subtree both the ANN top-k and the near-dup
+    query fan out from."""
+    return with_norms(df, vec_col, id_col).join(
+        sign_buckets(df, n_bits, vec_col, id_col), id_col
+    )
+
+
 def bucketed_topk(
     df: DataFrame,
     k: int = 3,
@@ -90,9 +99,7 @@ def bucketed_topk(
     """ANN top-k restricted to the query's own sign-LSH bucket: the
     similarity join becomes an equi-join on bucket. Approximate by design
     (recall < 1 vs cosine_topk); Output: (query_id, neighbor_id, rnk, sim_r4)."""
-    base = with_norms(df, vec_col, id_col).join(
-        sign_buckets(df, n_bits, vec_col, id_col), id_col
-    )
+    base = _bucketed_base(df, n_bits, vec_col, id_col)
     q = base.select(
         F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn"), "bucket"
     ).where(F.col("query_id") < n_queries)
@@ -126,9 +133,7 @@ def near_dup_pairs_lsh(
     n^2. Approximate by design: cross-bucket near-dups are missed (recall
     rises with fewer bits / multiple bucket tables). Output:
     (vec_a, vec_b, sim_r4), same shape as the brute-force oracle form."""
-    base = with_norms(df, vec_col, id_col).join(
-        sign_buckets(df, n_bits, vec_col, id_col), id_col
-    )
+    base = _bucketed_base(df, n_bits, vec_col, id_col)
     a = base.select(
         F.col(id_col).alias("vec_a"), F.col("vec").alias("va"),
         F.col("norm").alias("na"), "bucket",

@@ -30,6 +30,7 @@ _DROP_SUBTREES = re.compile(
     r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
     re.IGNORECASE | re.DOTALL,
 )
+_CONTAINER_TAGS = ("nav", "footer", "header", "aside", "form")
 _DROP_CONTAINERS = re.compile(
     # innermost-first: a container matches only if it holds no same-tag
     # opener, so nested <nav>..<nav>..</nav>..</nav> is peeled inside-out
@@ -37,6 +38,16 @@ _DROP_CONTAINERS = re.compile(
     r"<(nav|footer|header|aside|form)\b[^>]*>(?:(?!<\1\b).)*?</\1\s*>",
     re.IGNORECASE | re.DOTALL,
 )
+_DROP_CONTAINERS_LAZY = re.compile(
+    # open-to-first-close pairing for MALFORMED html (unbalanced tags):
+    # innermost-first would consume the inner pair and leave an unclosed
+    # outer opener's boilerplate in content; first-open-to-first-close at
+    # least drops it up to the surviving close tag
+    r"<(nav|footer|header|aside|form)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_OPEN = {t: re.compile(rf"<{t}\b", re.IGNORECASE) for t in _CONTAINER_TAGS}
+_TAG_CLOSE = {t: re.compile(rf"</{t}\b", re.IGNORECASE) for t in _CONTAINER_TAGS}
 _BLOCK_SPLIT = re.compile(
     r"</?(?:div|p|h[1-6]|ul|ol|li|table|thead|tbody|tr|td|th|section|article|"
     r"main|blockquote|pre|figure|figcaption|br|hr|body|html|head|title)\b[^>]*/?>",
@@ -56,18 +67,35 @@ _ENTITIES = [
 ]
 
 
-def _drop_containers(s: pd.Series) -> pd.Series:
-    """Remove boilerplate containers to fixpoint, still fully vectorized:
-    each pass strips every innermost container, so K passes handle K-deep
-    same-tag nesting (real web HTML nests navs in headers routinely). The
-    pass cap only bounds pathological inputs; normal HTML converges in the
-    nesting depth."""
+def _fixpoint(s: pd.Series, pattern: re.Pattern) -> pd.Series:
     for _ in range(10):
-        s2 = s.str.replace(_DROP_CONTAINERS, " ", regex=True)
+        s2 = s.str.replace(pattern, " ", regex=True)
         if s2.equals(s):
             break
         s = s2
     return s
+
+
+def _drop_containers(s: pd.Series) -> pd.Series:
+    """Remove boilerplate containers to fixpoint, still fully vectorized.
+
+    Rows whose container tags balance (the overwhelmingly common case) are
+    peeled innermost-first, so K passes handle K-deep same-tag nesting with
+    no tail leakage. Rows with unbalanced tags (truncated/malformed web
+    HTML: an unclosed <nav> whose only close tag belongs to an inner nav)
+    fall back to first-open-to-first-close pairing — innermost-first would
+    consume the inner pair and leave the outer boilerplate in content. Both
+    paths operate on whole sub-series; the balance test is 10 vectorized
+    str.count calls."""
+    balanced = pd.Series(True, index=s.index)
+    for t in _CONTAINER_TAGS:
+        balanced &= s.str.count(_TAG_OPEN[t]) == s.str.count(_TAG_CLOSE[t])
+    out = s.copy()
+    if balanced.any():
+        out[balanced] = _fixpoint(s[balanced], _DROP_CONTAINERS)
+    if (~balanced).any():
+        out[~balanced] = _fixpoint(s[~balanced], _DROP_CONTAINERS_LAZY)
+    return out
 
 
 def _clean_text(s: pd.Series) -> pd.Series:

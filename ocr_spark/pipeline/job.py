@@ -24,7 +24,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..schemas import DOCUMENTS, MANIFEST, MEDIA
+from ..schemas import DOCUMENTS, MANIFEST, MEDIA, OUTPUT_SPANS
 from .udfs import make_ocr_udf, make_strip_udf
 
 
@@ -284,10 +284,13 @@ def extract(
         # landed on storage, not what the plan produced in memory. Explicit
         # schema: a zero-row wave leaves no partition dirs to infer from,
         # and the empty buckets must still commit (zero-stat) manifest rows.
+        from pyspark.sql import types as T
+
         written = (
             spark.read.schema(
-                "doc_id string, ord int, kind string, text string, "
-                "media_ref string, bucket int"
+                T.StructType(
+                    OUTPUT_SPANS.fields + [T.StructField("bucket", T.IntegerType())]
+                )
             )
             .parquet(f"{output_dir}/spans")
             .where(F.col("bucket").isin(wave))

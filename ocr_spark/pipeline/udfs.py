@@ -36,16 +36,28 @@ def default_alphabet() -> Alphabet:
 
     raw = resources.files("ocr_spark").joinpath("data/arial.gray.png").read_bytes()
     # per-user 0700 cache dir: a world-writable shared path would let another
-    # local user pre-create the file and silently substitute features
+    # local user pre-create the file and silently substitute features. The
+    # dir name is predictable, so creation alone is not enough — verify the
+    # existing dir is OURS and not group/other-writable, else skip the cache
+    # entirely (sticky /tmp lets any user pre-create the name).
+    import stat
     import tempfile
 
     cache_dir = os.path.join(
         tempfile.gettempdir(), f"ocr_spark_cache_{os.getuid()}"
     )
-    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
-    cache = os.path.join(
-        cache_dir, f"alpha_{hashlib.sha1(raw).hexdigest()[:16]}.npz"
-    )
+    cache = None
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid == os.getuid() and not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+            cache = os.path.join(
+                cache_dir, f"alpha_{hashlib.sha1(raw).hexdigest()[:16]}.npz"
+            )
+    except OSError:
+        pass
+    if cache is None:
+        return Alphabet().learn_sheet(decode_gray(raw), "arial")
     if os.path.exists(cache):
         try:
             z = np.load(cache, allow_pickle=False)

@@ -126,6 +126,30 @@ def test_strip_html_nested_same_tag_containers():
     assert strip_html(pd.Series([deep]))[0] == "keep this main text"
 
 
+def test_strip_html_unclosed_container_degrades_like_lazy():
+    """Malformed (unbalanced) HTML: an unclosed outer <nav> whose only close
+    tag belongs to an inner nav must still drop its boilerplate up to that
+    close (first-open-to-first-close), not leak it into content."""
+    import pandas as pd
+
+    from ocr_spark.html.strip import strip_html
+
+    html = (
+        "<nav>home about pricing contact menu <nav>sub items</nav>"
+        "<p>real main content sentence here</p>"
+    )
+    assert strip_html(pd.Series([html]))[0] == "real main content sentence here"
+
+    # a batch mixing balanced and unbalanced rows routes each correctly
+    batch = pd.Series([
+        html,
+        "<nav>a<nav>b</nav>c</nav><p>balanced row main text</p>",
+    ])
+    out = strip_html(batch)
+    assert out[0] == "real main content sentence here"
+    assert out[1] == "balanced row main text"
+
+
 def test_winnowing_guarantee():
     """Any shared run of k+w-1 tokens yields at least one shared fingerprint
     (the winnowing guarantee), checked kernel-side with pandas semantics."""
