@@ -310,6 +310,20 @@ def _q_lsh_pairs(spark, sf_dir):
     )
 
 
+def _q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS: connected components over the (capped) LSH candidate
+    graph — the step that picks one canonical doc per duplicate cluster.
+    Spark: iterative min-label propagation; oracle: recursive CTE."""
+    from ocr_spark.functions.dedup import (
+        dedup_components, lsh_candidate_pairs, minhash_signatures, shingles,
+    )
+
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingles(_docs(spark, sf_dir))), bucket_max=_DF_MAX
+    )
+    return dedup_components(pairs)
+
+
 def _q_jaccard(spark, sf_dir):
     from ocr_spark.functions.dedup import jaccard_pairs, shingles
 
@@ -568,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix3": _q_dedup_prefix,
         "minhash_signatures": _q_minhash,
         "lsh_candidate_pairs": _q_lsh_pairs,
+        "dedup_groups": _q_dedup_groups,
         "ngram_jaccard": _q_jaccard,
         "simhash_bits": _q_simhash,
         "q6_forecast_revenue": _q_forecast_revenue,
@@ -846,6 +861,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM sig a JOIN sig b
               ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        """,
+        "dedup_groups": f"""
+            WITH RECURSIVE
+            sig0 AS ({_SQL_MINHASH}),
+            hot AS (SELECT band, minhash FROM sig0
+                    GROUP BY 1, 2 HAVING COUNT(*) > {_DF_MAX}),
+            sig AS (SELECT sig0.* FROM sig0 ANTI JOIN hot USING (band, minhash)),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b
+                  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, label) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node AS doc_id, MIN(label) AS component
+            FROM reach GROUP BY node
         """,
         "ngram_jaccard": f"""
             WITH sh0 AS ({_SQL_SHINGLES}),

@@ -171,6 +171,70 @@ def jaccard_pairs(sh: DataFrame, min_common: int = 2, df_max: int | None = None,
     )
 
 
+def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs: the step
+    that turns pairwise matches into dedup GROUPS (keep one canonical doc
+    per component, drop the rest). Iterative min-label propagation — each
+    node adopts the smallest label among itself and its neighbors until no
+    label changes. Output: (doc_id, component) where component = min doc_id
+    reachable in the undirected candidate graph.
+
+    Scale design: each iteration does a neighbor-min step (join + hash-agg,
+    one shuffle) AND a pointer-jumping step (label := label-of-label), so
+    convergence is O(log diameter) — 20 iterations covers ~10^6-hop chains.
+    Lineage is truncated per iteration with localCheckpoint so the plan does
+    not grow exponentially; the driver-side convergence check moves one
+    count per iteration, not data. The driver loop is the standard Spark
+    shape for iterative graph algorithms (GraphFrames' connectedComponents
+    alternates the same two steps internally).
+    """
+    edges_fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges_fwd.unionByName(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce("n_min", F.col("component"))
+            ).alias("component"),
+            F.col("component").alias("_old"),
+        )
+        # pointer jumping: component := component(component). Labels are
+        # always node ids (mins over node ids), so the self-join resolves;
+        # this halves the remaining chain length every iteration.
+        mapping = stepped.select(
+            F.col("doc_id").alias("m_node"), F.col("component").alias("m_comp")
+        )
+        new_labels = (
+            stepped.join(mapping, stepped.component == mapping.m_node, "left")
+            .select(
+                "doc_id",
+                F.coalesce("m_comp", "component").alias("component"),
+                "_old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where(F.col("component") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash, emitted long-form as (doc_id, bit_idx, bit).
 

@@ -138,6 +138,25 @@ def test_shingle_df_cap_bounds_hot_join_groups(spark):
     assert lsh_candidate_pairs(sig, bucket_max=1).count() == 0
 
 
+def test_dedup_components_known_graph(spark):
+    """Label propagation on a known graph: a chain (a-b-c), a pair (x-y) and
+    the chain's transitive closure all collapse to min-id components; a
+    4-hop chain checks multi-iteration convergence."""
+    from ocr_spark.functions.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y"), ("p1", "p2"), ("p2", "p3"),
+         ("p3", "p4"), ("p4", "p5")],
+        "doc_a string, doc_b string",
+    )
+    got = {r.doc_id: r.component for r in dedup_components(pairs).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x",
+        "p1": "p1", "p2": "p1", "p3": "p1", "p4": "p1", "p5": "p1",
+    }
+
+
 def test_audio_features_decode_contract(spark):
     """WAV decode correctness on a hand-built clip with known stats: a pure
     square wave has rms == amplitude and one zero-crossing per half period."""
