@@ -54,6 +54,35 @@ _SQL_MINHASH = f"""
 """
 
 
+# connected components over the capped LSH candidate graph (recursive CTE);
+# used directly by dedup_groups and as a subquery by dedup_survivors
+_SQL_COMPONENTS = """
+    WITH RECURSIVE
+    sig0 AS ({minhash}),
+    hot AS (SELECT band, minhash FROM sig0
+            GROUP BY 1, 2 HAVING COUNT(*) > {df_max}),
+    sig AS (SELECT sig0.* FROM sig0 ANTI JOIN hot USING (band, minhash)),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component
+    FROM reach GROUP BY node
+""".format(minhash=_SQL_MINHASH, df_max=_DF_MAX)
+
+
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -308,6 +337,45 @@ def _q_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(
         minhash_signatures(shingles(_docs(spark, sf_dir))), bucket_max=_DF_MAX
     )
+
+
+def _q_events_asof(spark, sf_dir):
+    """As-of join category: each purchase gets the user's latest click at or
+    before it. Spark composition: union + last-ignore-nulls window (one
+    shuffle, no range join); oracle: DuckDB's native ASOF LEFT JOIN."""
+    from ocr_spark.functions.events import asof_join
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(purchases, clicks, prefix="click_")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+        F.col("click_event_id"),
+    )
+
+
+def _q_dedup_survivors(spark, sf_dir):
+    """Corpus dedup materialized: keep one canonical doc (the component
+    label) per near-dup group, pass every unpaired doc through."""
+    from ocr_spark.functions.dedup import (
+        dedup_components, lsh_candidate_pairs, minhash_signatures, shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(shingles(docs)), bucket_max=_DF_MAX
+    )
+    dropped = dedup_components(pairs).where(F.col("doc_id") != F.col("component"))
+    return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
 
 
 def _q_dedup_groups(spark, sf_dir):
@@ -583,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash,
         "lsh_candidate_pairs": _q_lsh_pairs,
         "dedup_groups": _q_dedup_groups,
+        "dedup_survivors": _q_dedup_survivors,
+        "events_asof_click": _q_events_asof,
         "ngram_jaccard": _q_jaccard,
         "simhash_bits": _q_simhash,
         "q6_forecast_revenue": _q_forecast_revenue,
@@ -862,30 +932,24 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b
               ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
         """,
-        "dedup_groups": f"""
-            WITH RECURSIVE
-            sig0 AS ({_SQL_MINHASH}),
-            hot AS (SELECT band, minhash FROM sig0
-                    GROUP BY 1, 2 HAVING COUNT(*) > {_DF_MAX}),
-            sig AS (SELECT sig0.* FROM sig0 ANTI JOIN hot USING (band, minhash)),
-            pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM sig a JOIN sig b
-                  ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-            ),
-            edges AS (
-                SELECT doc_a AS src, doc_b AS dst FROM pairs
-                UNION
-                SELECT doc_b AS src, doc_a AS dst FROM pairs
-            ),
-            nodes AS (SELECT DISTINCT src AS node FROM edges),
-            reach(node, label) AS (
-                SELECT node, node FROM nodes
-                UNION
-                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+        "dedup_groups": _SQL_COMPONENTS,
+        "dedup_survivors": f"""
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (
+                SELECT doc_id FROM ({_SQL_COMPONENTS}) WHERE doc_id <> component
             )
-            SELECT node AS doc_id, MIN(label) AS component
-            FROM reach GROUP BY node
+        """,
+        "events_asof_click": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (
+                SELECT user_id, ts, MAX(event_id)::BIGINT AS click_event_id
+                FROM events WHERE event_type = 'click' GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                   epoch_us(c.ts) AS click_ts_us, c.click_event_id
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "ngram_jaccard": f"""
             WITH sh0 AS ({_SQL_SHINGLES}),

@@ -56,6 +56,53 @@ def sessionize(df: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    payload_cols: tuple[str, ...] = ("event_id",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: attach to each left row the LATEST right row with
+    ``right.ts <= left.ts`` in the same ``by`` group (inclusive). Spark has
+    no native as-of join; the scale-right composition is union + a
+    last-ignore-nulls running window — ONE shuffle on the group key, no
+    range-condition join (which would plan as a per-group cross product) and
+    no row explosion. Right rows sort before left rows at equal ts so <= is
+    inclusive; among equal-ts right rows the largest ``tie_col`` wins
+    (deterministic). Left rows with no prior right row get nulls.
+
+    Output: all left columns plus ``prefix+c`` for each payload col and
+    ``prefix+ts`` (the matched right timestamp).
+    """
+    r = right.select(
+        F.col(by),
+        F.col(ts_col),
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_payload"),
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+    )
+    l = left.withColumn("_side", F.lit(1)).withColumn("_tie", F.col(tie_col))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+    out = matched.where(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        F.col("_m._ts").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )
+    return out
+
+
 def top_users(df: DataFrame, k: int = 5) -> DataFrame:
     """Users ranked by event count; dense_rank keeps ties deterministic."""
     counts = df.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))

@@ -138,6 +138,27 @@ def test_shingle_df_cap_bounds_hot_join_groups(spark):
     assert lsh_candidate_pairs(sig, bucket_max=1).count() == 0
 
 
+def test_asof_join_semantics(spark):
+    """Inclusive as-of with deterministic ties: equal-ts right rows resolve
+    to the max tie id; left rows before any right row get nulls; matches
+    never cross the `by` group."""
+    from ocr_spark.functions.events import asof_join
+
+    left = spark.createDataFrame(
+        [(100, 1, 50), (101, 1, 5), (102, 2, 50)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 50), (3, 1, 50), (4, 2, 60)],
+        "event_id long, user_id long, ts long",
+    )
+    got = {r.event_id: (r.asof_event_id, r.asof_ts)
+           for r in asof_join(left, right).collect()}
+    assert got[100] == (3, 50)      # inclusive <=, tie -> max event_id
+    assert got[101] == (None, None)  # no right row at or before ts=5
+    assert got[102] == (None, None)  # user 2's only click is later
+
+
 def test_dedup_components_known_graph(spark):
     """Label propagation on a known graph: a chain (a-b-c), a pair (x-y) and
     the chain's transitive closure all collapse to min-id components; a
