@@ -250,6 +250,22 @@ def _q_token_count_bpe(spark, sf_dir):
     )
 
 
+def _q_doc_length_quantiles(spark, sf_dir):
+    """Percentile/ordered-aggregate category: exact interpolated quantiles
+    of document length — the corpus profile a pipeline uses to set length
+    filters. Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation definition, so values match bit-exactly."""
+    d = _docs(spark, sf_dir).select(F.length("text").cast("long").alias("n"))
+    q = F.expr("percentile(n, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))")
+    return d.agg(
+        q[0].alias("p25"), q[1].alias("p50"), q[2].alias("p75"),
+        q[3].alias("p90"), q[4].alias("p99"),
+        F.min("n").alias("min_chars"),
+        F.max("n").alias("max_chars"),
+        F.avg("n").alias("avg_chars"),
+    )
+
+
 def _q_token_histogram(spark, sf_dir):
     """Corpus vocabulary stats: top-50 tokens by frequency, deterministic
     tie-break by token."""
@@ -645,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_fingerprints,
         "token_count_bpe": _q_token_count_bpe,
         "token_histogram": _q_token_histogram,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "events_funnel": _q_events_funnel,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix3": _q_dedup_prefix,
@@ -883,6 +900,15 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS n_bpe_tokens,
                    len({_SQL_TOKS})::BIGINT AS n_ws_tokens
             FROM documents
+        """,
+        "doc_length_quantiles": """
+            SELECT q[1] AS p25, q[2] AS p50, q[3] AS p75, q[4] AS p90,
+                   q[5] AS p99, mn AS min_chars, mx AS max_chars, av AS avg_chars
+            FROM (
+                SELECT quantile_cont(n, [0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                       MIN(n) AS mn, MAX(n) AS mx, AVG(n) AS av
+                FROM (SELECT length(text)::BIGINT AS n FROM documents)
+            )
         """,
         "token_histogram": f"""
             SELECT token, n, rnk FROM (

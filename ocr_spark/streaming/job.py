@@ -93,6 +93,25 @@ def stream_event_rollup(
     )
 
 
+def stream_dedup_exact(
+    events_stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: drop any row whose key was already
+    seen, with state bounded by the watermark (a duplicate arriving later
+    than the watermark horizon is the source's replay window exceeding the
+    configured bound — widen the watermark, not the state). This is the
+    streaming twin of functions/dedup.exact_duplicates and the standard
+    guard in front of an at-least-once source (Kafka replays, file-source
+    re-lists)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )

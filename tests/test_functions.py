@@ -159,6 +159,70 @@ def test_asof_join_semantics(spark):
     assert got[102] == (None, None)  # user 2's only click is later
 
 
+def test_asof_join_matches_bruteforce_on_random_inputs(spark):
+    """Randomized check vs an O(n^2) python reference: for every left row
+    the match is the right row with the max (ts, event_id) among those at or
+    before it in the same group."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    from ocr_spark.functions.events import asof_join
+
+    for trial in range(3):
+        nl, nr = 40, 60
+        left = [(int(1000 + i), int(rng.integers(0, 5)), int(rng.integers(0, 30)))
+                for i in range(nl)]
+        right = [(int(i), int(rng.integers(0, 5)), int(rng.integers(0, 30)))
+                 for i in range(nr)]
+        ldf = spark.createDataFrame(left, "event_id long, user_id long, ts long")
+        rdf = spark.createDataFrame(right, "event_id long, user_id long, ts long")
+        got = {r.event_id: r.asof_event_id for r in asof_join(ldf, rdf).collect()}
+
+        for eid, u, ts in left:
+            cands = [(rts, rid) for rid, ru, rts in right if ru == u and rts <= ts]
+            expect = max(cands)[1] if cands else None
+            assert got[eid] == expect, (trial, eid, got[eid], expect)
+
+
+def test_dedup_components_matches_union_find_on_random_graphs(spark):
+    """Randomized check vs a python union-find reference on sparse random
+    graphs (including long chains that need pointer jumping)."""
+    import numpy as np
+
+    from ocr_spark.functions.dedup import dedup_components
+
+    def union_find(nodes, edges):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comp.values() for n in members}
+
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        n = 60
+        edges = {(f"d{min(a, b):03d}", f"d{max(a, b):03d}")
+                 for a, b in rng.integers(0, n, size=(50, 2)) if a != b}
+        # plus one long chain to force multi-round pointer jumping
+        edges |= {(f"c{i:03d}", f"c{i + 1:03d}") for i in range(40)}
+        nodes = {x for e in edges for x in e}
+        expect = union_find(nodes, edges)
+        df = spark.createDataFrame(sorted(edges), "doc_a string, doc_b string")
+        got = {r.doc_id: r.component for r in dedup_components(df).collect()}
+        assert got == expect, (trial,)
+
+
 def test_dedup_components_known_graph(spark):
     """Label propagation on a known graph: a chain (a-b-c), a pair (x-y) and
     the chain's transitive closure all collapse to min-id components; a

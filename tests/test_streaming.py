@@ -127,6 +127,41 @@ def test_stream_event_rollup_matches_batch(spark, tmp_path):
     assert len(got_rows) >= len(batch_rows) - 5  # only trailing windows open
 
 
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """A replayed/duplicated event in a later micro-batch must be dropped:
+    feed the same file twice (distinct mtimes -> two batches) and assert the
+    deduped output equals one copy."""
+    from ocr_spark.streaming.job import stream_dedup_exact
+
+    stream_dir = str(tmp_path / "dup_in")
+    os.makedirs(stream_dir)
+    shutil.copy(SF_EVENTS, os.path.join(stream_dir, "a.parquet"))
+    shutil.copy(SF_EVENTS, os.path.join(stream_dir, "b.parquet"))
+    os.utime(os.path.join(stream_dir, "a.parquet"), (1_700_000_000,) * 2)
+    os.utime(os.path.join(stream_dir, "b.parquet"), (1_700_000_100,) * 2)
+
+    schema = spark.read.parquet(SF_EVENTS).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select event_id from dedup_sink")
+    n_unique = spark.read.parquet(SF_EVENTS).select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.distinct().count() == n_unique
+
+
 def test_stateful_sessionize_spans_batches(spark, tmp_path):
     """State must carry across micro-batches: an event in batch 2 within the
     gap extends the session opened in batch 1; closed sessions match the
