@@ -28,6 +28,12 @@ def main(argv=None):
     ex.add_argument("--character-spacing", type=float, default=8.0)
     ex.add_argument("--master", default=None, help="override master (default: from spark-submit)")
     ex.add_argument("--shuffle-partitions", type=int, default=None)
+    ex.add_argument(
+        "--partitions", type=int, default=None,
+        help="salt-shuffle width for the CPU-bound UDF stages (default: one "
+             "task per core; raise for straggler hiding / bounded retry "
+             "granularity on heterogeneous clusters)",
+    )
 
     st = sub.add_parser("stream", help="streaming extraction over arriving parquet files")
     st.add_argument("--stream-dir", required=True, help="directory watched for documents parquet")
@@ -62,6 +68,7 @@ def main(argv=None):
                 resume=not args.no_resume,
                 character_spacing=args.character_spacing,
                 salt=not args.no_salt,
+                partitions=args.partitions,
             )
             print(json.dumps(metrics))
         else:  # stream

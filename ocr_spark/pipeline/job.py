@@ -210,6 +210,7 @@ def extract(
     resume: bool = True,
     character_spacing: float = 8.0,
     salt: bool = True,
+    partitions: int | None = None,
     fail_after: int | None = None,  # test hook: die after K bucket commits
 ) -> dict:
     """Run the full job with bucketed idempotent commits. Returns metrics.
@@ -265,7 +266,8 @@ def extract(
         # creates W x |wave| files whose dynamic-overwrite commit is
         # driver-serial — file count, not data size, was the scaling ceiling
         out = (
-            extract_spans(subset, media, character_spacing, salt=salt)
+            extract_spans(subset, media, character_spacing, salt=salt,
+                          partitions=partitions)
             .withColumn("bucket", (F.crc32(F.col("doc_id")) % buckets).cast("int"))
             .repartition(max(4 * len(wave), 1), "bucket", "doc_id")
         )
