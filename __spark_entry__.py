@@ -633,6 +633,17 @@ def _q_audio_features(spark, sf_dir):
     return audio_features(audio)
 
 
+def _q_pdf_text(spark, sf_dir):
+    """PDF/layout parse (north rule): real text extraction from binary PDFs
+    (plain + FlateDecode streams, Tj/TJ operators — ocr_spark.pdf). Oracle:
+    the corpus commits the page texts it embedded at build time."""
+    from ocr_spark.functions.multimodal import pdf_text
+
+    corpus = _synth_corpus("tiny")
+    pdfs = spark.read.parquet(f"{corpus}/pdfs.parquet")
+    return pdf_text(pdfs)
+
+
 def _q_frame_sample(spark, sf_dir):
     """Non-SQL-expressible: video frame-sampling plumbing (deterministic fake
     decode; real codec stubbed per container limits)."""
@@ -690,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": _q_image_features,
         "media_image_resize": _q_image_resize,
         "media_audio_features": _q_audio_features,
+        "media_pdf_text": _q_pdf_text,
         "video_frame_sample": _q_frame_sample,
     }
 
@@ -1183,5 +1195,10 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_features": f"""
             SELECT media_ref, sample_rate, n_samples, duration_s, rms, n_zero_cross
             FROM read_parquet('{_synth_corpus("tiny")}/audio.parquet')
+        """,
+        # PDF parse vs the by-construction page texts embedded at build time
+        "media_pdf_text": f"""
+            SELECT media_ref, page_idx, text
+            FROM read_parquet('{_synth_corpus("tiny")}/pdf_expected.parquet')
         """,
     }

@@ -29,7 +29,7 @@ SEED = 1337
 
 # bump when the corpus schema/content changes: ensure_corpus regenerates any
 # cached dir whose _DONE marker carries an older version
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 
 # validated: each word round-trips render -> segment -> classify exactly
 # (glyphs i j l m w W X 0 and thin punctuation excluded — the reference
@@ -262,6 +262,45 @@ def synthesize_audio(n_clips: int, seed: int = SEED, sample_rate: int = 8000):
     )
 
 
+def synthesize_pdfs(n_pdfs: int, seed: int = SEED):
+    """Deterministic text PDFs with by-construction truth: each document has
+    1-3 pages of WORDLIST sentences; truth = the page texts joined exactly
+    as the parser reconstructs them (one space between lines/runs). Half the
+    corpus is Flate-compressed, half raw, so both stream paths are covered."""
+    from .pdf import build_pdf
+
+    rng = np.random.default_rng(seed + 17)
+    refs, blobs, page_idxs, truths = [], [], [], []
+    rows_ref, rows_idx, rows_text = [], [], []
+    for i in range(n_pdfs):
+        n_pages = int(rng.integers(1, 4))
+        pages = []
+        for _ in range(n_pages):
+            n_lines = int(rng.integers(1, 4))
+            pages.append(
+                [
+                    " ".join(str(w) for w in rng.choice(WORDLIST, size=int(rng.integers(2, 6))))
+                    for _ in range(n_lines)
+                ]
+            )
+        ref = f"pdf-{i:06d}"
+        refs.append(ref)
+        blobs.append(build_pdf(pages, compress=(i % 2 == 0)))
+        for pi, lines in enumerate(pages):
+            rows_ref.append(ref)
+            rows_idx.append(pi)
+            rows_text.append(" ".join(lines))
+    pdfs = pa.table({"media_ref": refs, "pdf": pa.array(blobs, pa.binary())})
+    expected = pa.table(
+        {
+            "media_ref": rows_ref,
+            "page_idx": pa.array(rows_idx, pa.int64()),
+            "text": rows_text,
+        }
+    )
+    return pdfs, expected
+
+
 def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
     documents, media, expected = synthesize(n_docs, n_pages, skew=skew, seed=seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -272,6 +311,9 @@ def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False, se
     pq.write_table(expected, os.path.join(out_dir, "expected_spans.parquet"))
     audio = synthesize_audio(max(8, n_pages // 2), seed=seed)
     pq.write_table(audio, os.path.join(out_dir, "audio.parquet"), row_group_size=512)
+    pdfs, pdf_expected = synthesize_pdfs(max(8, n_pages // 2), seed=seed)
+    pq.write_table(pdfs, os.path.join(out_dir, "pdfs.parquet"), row_group_size=512)
+    pq.write_table(pdf_expected, os.path.join(out_dir, "pdf_expected.parquet"))
     return documents.num_rows, media.num_rows, expected.num_rows
 
 

@@ -197,6 +197,44 @@ def audio_features(df: DataFrame, ref_col: str = "media_ref", blob_col: str = "w
     return df.select(ref_col, blob_col).mapInPandas(kernel, AUDIO_FEATURES)
 
 
+PDF_TEXT = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("page_idx", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def pdf_text(df: DataFrame, ref_col: str = "media_ref", blob_col: str = "pdf") -> DataFrame:
+    """Extract text from a binary PDF column per Arrow batch (north rule:
+    PDF/layout parse): one output row per content-stream page, in document
+    order. Real parser for the text-PDF subset (plain/Flate streams, Tj/TJ
+    operators — ocr_spark.pdf documents the scope); image-only pages yield
+    no rows here, they belong to the OCR path."""
+    from ..pdf import extract_text
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            refs, idxs, texts = [], [], []
+            for ref, blob in zip(pdf_batch[ref_col], pdf_batch[blob_col]):
+                if blob is None:
+                    continue
+                for i, t in enumerate(extract_text(bytes(blob))):
+                    refs.append(ref)
+                    idxs.append(i)
+                    texts.append(t)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "page_idx": pd.Series(idxs, dtype="int64"),
+                    "text": pd.Series(texts, dtype=object),
+                }
+            )
+
+    return df.select(ref_col, blob_col).mapInPandas(kernel, PDF_TEXT)
+
+
 RESIZED_IMAGE = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),

@@ -1,0 +1,162 @@
+"""Minimal PDF text extraction (north rule: "PDF/layout parse") plus a
+deterministic PDF writer for fixtures — pure stdlib (zlib), no external
+PDF library in this container.
+
+Scope (documented subset, honest about what it is NOT): text-based PDFs
+whose content streams are plain or FlateDecode-compressed and show text
+with the standard ``Tj`` / ``TJ`` operators inside BT/ET blocks — the shape
+virtually every programmatic PDF writer (and this module's own ``build_pdf``)
+emits. Not handled: encrypted documents, CID/Type0 multi-byte encodings,
+object streams (/ObjStm), text drawn as vector outlines or images (that is
+the OCR kernel's job, see ocr_spark.kernel).
+
+Parsing strategy: scan for ``stream``/``endstream`` blobs (xref-free — also
+works on files with broken xref tables, a common real-world defect), inflate
+each candidate, and collect show-text operators per BT/ET block. String
+escapes (\\(, \\), \\\\, \\n, \\t, \\r, \\b, \\f, octal \\ooo) and TJ kerning
+arrays are handled; pieces within one TJ are concatenated, a kerning
+adjustment <= -200/1000 em is rendered as a space (the convention most text
+extractors use for word gaps encoded as kerning).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# ( ... ) with escaped chars, followed by the operator
+_TJ_ONE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')")
+_TJ_ARR = re.compile(rb"\[((?:\((?:\\.|[^\\()])*\)|[^\[\]])*)\]\s*TJ")
+_ARR_PIECE = re.compile(rb"\(((?:\\.|[^\\()])*)\)|(-?\d+(?:\.\d+)?)")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = raw[i + 1 : i + 2]
+        if nxt in _ESCAPES:
+            out += _ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():
+            j = i + 1
+            while j < n and j < i + 4 and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i + 1 : j], 8) & 0xFF)
+            i = j
+        else:  # lone backslash before EOL etc: drop the backslash
+            i += 1
+    return bytes(out)
+
+
+def _block_text(block: bytes) -> str:
+    """Show-text operators of one BT/ET block -> text. Consecutive Tj/TJ
+    results are joined with a space (each op is one positioned run)."""
+    runs: list[bytes] = []
+    events: list[tuple[int, bytes]] = []
+    for m in _TJ_ONE.finditer(block):
+        events.append((m.start(), _unescape(m.group(1))))
+    for m in _TJ_ARR.finditer(block):
+        piece = bytearray()
+        for p in _ARR_PIECE.finditer(m.group(1)):
+            if p.group(1) is not None:
+                piece += _unescape(p.group(1))
+            elif float(p.group(2)) <= -200:
+                piece += b" "
+        events.append((m.start(), bytes(piece)))
+    for _, b in sorted(events):
+        if b:
+            runs.append(b)
+    return " ".join(r.decode("latin-1") for r in runs)
+
+
+def extract_text(pdf: bytes) -> list[str]:
+    """Per-content-stream text, in document order; streams with no text
+    operators (images, fonts, xref streams) are skipped."""
+    texts = []
+    for m in _STREAM.finditer(pdf):
+        data = m.group(1)
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            pass  # uncompressed content stream (or not Flate): parse as-is
+        blocks = [_block_text(b.group(1)) for b in _BT_ET.finditer(data)]
+        text = " ".join(t for t in blocks if t)
+        if text:
+            texts.append(text)
+    return texts
+
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    ).encode("latin-1")
+
+
+def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+    """Deterministic minimal PDF: one content stream per page, each inner
+    list is the page's text lines (shown as one Tj per line). Valid per the
+    PDF 1.4 skeleton: catalog -> pages -> page + contents, full xref."""
+    objs: list[bytes] = []  # 1-indexed object bodies (without "N 0 obj")
+    kids = []
+    n_fixed = 3  # catalog, pages, font
+    for i, lines in enumerate(pages):
+        page_num = n_fixed + 1 + 2 * i
+        content_num = page_num + 1
+        kids.append(f"{page_num} 0 R")
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _esc(line) + b") Tj")
+        ops.append(b"ET")
+        stream = b" ".join(ops)
+        if compress:
+            stream = zlib.compress(stream, 9)
+            filt = b"/Filter /FlateDecode "
+        else:
+            filt = b""
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        objs.append(
+            b"<< " + filt + b"/Length " + str(len(stream)).encode() + b" >>\n"
+            b"stream\n" + stream + b"\nendstream"
+        )
+
+    header = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        ("<< /Type /Pages /Kids [" + " ".join(kids) + f"] /Count {len(pages)} >>").encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    all_objs = header + objs
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(all_objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(all_objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(all_objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

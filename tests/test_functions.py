@@ -242,6 +242,52 @@ def test_dedup_components_known_graph(spark):
     }
 
 
+def test_pdf_text_parser_contract():
+    """Kernel-level PDF parse: round trip through the deterministic writer
+    (compressed and raw), escape handling, TJ kerning arrays, multi-page
+    order — no Spark needed."""
+    from ocr_spark.pdf import build_pdf, extract_text
+
+    pages = [["hello world", "second line"], ["page two (parens) \\ back"]]
+    for compress in (True, False):
+        got = extract_text(build_pdf(pages, compress=compress))
+        assert got == [
+            "hello world second line",
+            "page two (parens) \\ back",
+        ], (compress, got)
+
+    # hand-written raw content stream with TJ kerning: gap <= -200 -> space
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 52 >>\nstream\n"
+        b"BT [(Wor) -50 (ld) -300 (gap)] TJ ET"
+        b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_text(raw) == ["World gap"]
+
+    # octal escape
+    oct_pdf = build_pdf([["A\x29B"]], compress=False)  # ')' escaped by writer
+    assert extract_text(oct_pdf) == ["A)B"]
+
+
+def test_pdf_text_spark_operator(spark):
+    """The mapInPandas plumbing: per-ref page rows in order, nulls skipped."""
+    from ocr_spark.functions.multimodal import pdf_text
+    from ocr_spark.pdf import build_pdf
+
+    rows = [
+        ("p1", bytearray(build_pdf([["one one"], ["two"]]))),
+        ("p2", bytearray(build_pdf([["solo line"]], compress=False))),
+        ("p3", None),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, pdf binary")
+    got = {(r.media_ref, r.page_idx): r.text for r in pdf_text(df).collect()}
+    assert got == {
+        ("p1", 0): "one one",
+        ("p1", 1): "two",
+        ("p2", 0): "solo line",
+    }
+
+
 def test_audio_features_decode_contract(spark):
     """WAV decode correctness on a hand-built clip with known stats: a pure
     square wave has rms == amplitude and one zero-crossing per half period."""
