@@ -596,6 +596,23 @@ def _q_ocr_extract(spark, sf_dir):
     )
 
 
+def _q_ocr_extract3(spark, sf_dir):
+    """Three-kind interleaved extraction: text -> stripper, media -> OCR
+    kernel, pdf -> PDF parser, each routed as its own cost class and
+    reassembled. Oracle: the tiny3 corpus's by-construction expected spans."""
+    from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media
+
+    configure(spark)
+    corpus = _synth_corpus("tiny3")
+    pdfs = spark.read.parquet(f"{corpus}/pdfs.parquet")
+    out = extract_spans(
+        read_documents(spark, corpus), read_media(spark, corpus), pdfs=pdfs
+    )
+    return out.select(
+        "doc_id", F.col("ord").cast("long").alias("ord"), "kind", "text", "media_ref"
+    )
+
+
 def _q_image_features(spark, sf_dir):
     """Multimodal decode + feature extraction, oracle-checked: the corpus
     media table carries by-construction ink stats (computed on the raster
@@ -698,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_ngram": _q_lang_ngram,
         "emb_ivf_topk": _q_ivf_topk,
         "ocr_extract_spans": _q_ocr_extract,
+        "ocr_extract_interleaved3": _q_ocr_extract3,
         "media_image_features": _q_image_features,
         "media_image_resize": _q_image_resize,
         "media_audio_features": _q_audio_features,
@@ -1173,6 +1191,10 @@ def oracle_sql() -> dict[str, str]:
         "ocr_extract_spans": f"""
             SELECT doc_id, CAST(ord AS BIGINT) AS ord, kind, text, media_ref
             FROM read_parquet('{_synth_corpus("tiny")}/expected_spans.parquet')
+        """,
+        "ocr_extract_interleaved3": f"""
+            SELECT doc_id, CAST(ord AS BIGINT) AS ord, kind, text, media_ref
+            FROM read_parquet('{_synth_corpus("tiny3")}/expected_spans.parquet')
         """,
         # decode->feature path vs by-construction ink stats (computed on the
         # raster before PNG encoding — codec-independent truth)

@@ -49,6 +49,8 @@ CHAR_SPACING = 8.0  # engine setting paired with these gaps
 
 SCALES = {
     "tiny": dict(n_docs=100, n_pages=60),
+    # three-kind interleave: text + media + pdf spans in one corpus
+    "tiny3": dict(n_docs=100, n_pages=60, pdf_p=0.25),
     "small": dict(n_docs=10_000, n_pages=2_000),
     "bench": dict(n_docs=40_000, n_pages=6_000),
 }
@@ -113,10 +115,31 @@ def make_html(rng, sentence: str) -> str:
     )
 
 
-def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
-    """Return (documents, media, expected_spans) pyarrow tables."""
+def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED,
+               n_pdfs: int = 0, pdf_p: float = 0.0):
+    """Return (documents, media, expected_spans) pyarrow tables.
+
+    With ``n_pdfs``/``pdf_p`` set, documents interleave a third span kind
+    ``pdf`` referencing the deterministic PDF pool (same refs/truths as
+    ``synthesize_pdfs(n_pdfs, seed)`` — regenerate the pool with the same
+    args to get the matching ``pdfs`` table). pdf_p=0 consumes no extra rng
+    draws, so corpora without PDFs are bit-identical to earlier versions."""
     rng = np.random.default_rng(seed)
     glyphs = load_glyphs()
+
+    pdf_refs, pdf_truths = [], []
+    if n_pdfs:
+        _, pdf_exp = synthesize_pdfs(n_pdfs, seed=seed)
+        per_ref: dict[str, list[tuple[int, str]]] = {}
+        for ref, pi, txt in zip(
+            pdf_exp.column("media_ref").to_pylist(),
+            pdf_exp.column("page_idx").to_pylist(),
+            pdf_exp.column("text").to_pylist(),
+        ):
+            per_ref.setdefault(ref, []).append((pi, txt))
+        for ref in sorted(per_ref):
+            pdf_refs.append(ref)
+            pdf_truths.append(" ".join(t for _, t in sorted(per_ref[ref])))
 
     # --- media pool -----------------------------------------------------
     media_refs, widths, heights, pngs, truths = [], [], [], [], []
@@ -146,7 +169,20 @@ def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
         spans = []
         offset = 0
         for ord_ in range(n_spans):
-            if rng.random() < media_p:
+            r = rng.random()
+            if media_p <= r < media_p + pdf_p and pdf_refs:
+                pi = int(rng.integers(0, len(pdf_refs)))
+                ref = pdf_refs[pi]
+                spans.append(
+                    {"kind": "pdf", "text": None, "media_ref": ref, "offset": offset}
+                )
+                offset += 64
+                exp_doc.append(doc_id)
+                exp_ord.append(ord_)
+                exp_kind.append("pdf")
+                exp_text.append(pdf_truths[pi])
+                exp_ref.append(ref)
+            elif r < media_p:
                 pi = int(rng.integers(0, n_pages))
                 ref = media_refs[pi]
                 spans.append(
@@ -301,8 +337,13 @@ def synthesize_pdfs(n_pdfs: int, seed: int = SEED):
     return pdfs, expected
 
 
-def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED):
-    documents, media, expected = synthesize(n_docs, n_pages, skew=skew, seed=seed)
+def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False,
+                 seed: int = SEED, pdf_p: float = 0.0):
+    n_pdfs = max(8, n_pages // 2)
+    documents, media, expected = synthesize(
+        n_docs, n_pages, skew=skew, seed=seed,
+        n_pdfs=n_pdfs if pdf_p > 0 else 0, pdf_p=pdf_p,
+    )
     os.makedirs(out_dir, exist_ok=True)
     # small row groups: a parquet file is only splittable at row-group
     # boundaries, so a single default-sized group would force a serial scan

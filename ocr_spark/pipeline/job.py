@@ -75,6 +75,7 @@ def extract_spans(
     character_spacing: float = 8.0,
     salt: bool = True,
     partitions: int | None = None,
+    pdfs: DataFrame | None = None,
 ) -> DataFrame:
     """Logical plan for one slice of documents -> output span rows.
 
@@ -171,7 +172,40 @@ def extract_spans(
         "media_ref",
     )
 
-    return text_out.unionByName(media_out)
+    out = text_out.unionByName(media_out)
+
+    if pdfs is not None:
+        # third cost class, same scale shape as the OCR branch: parse each
+        # DISTINCT pdf once (semi-join on the refs this doc slice needs),
+        # join page texts back to span occurrences. Parsing is ~10x cheaper
+        # than OCR but still Python — it rides the same salted width.
+        from ..functions.multimodal import pdf_text
+
+        pdf_rows = exploded.where(F.col("kind") == "pdf").select(
+            "doc_id", "ord", "kind", "media_ref"
+        )
+        needed_pdfs = pdf_rows.select("media_ref").distinct()
+        blobs = pdfs.join(needed_pdfs, "media_ref")
+        if salt:
+            blobs = blobs.withColumn(
+                "_salt", F.crc32(F.col("media_ref"))
+            ).repartition(partitions, "_salt")
+        parsed = (
+            pdf_text(blobs)
+            .groupBy("media_ref")
+            .agg(
+                F.concat_ws(
+                    " ", F.array_sort(F.collect_list(F.struct("page_idx", "text")))
+                    .getField("text")
+                ).alias("out_text")
+            )
+        )
+        pdf_out = pdf_rows.join(parsed.hint("SHUFFLE_HASH"), "media_ref", "left").select(
+            "doc_id", "ord", "kind", F.col("out_text").alias("text"), "media_ref"
+        )
+        out = out.unionByName(pdf_out)
+
+    return out
 
 
 def _read_committed(spark: SparkSession, manifest_dir: str) -> set[int]:

@@ -58,6 +58,37 @@ def test_extraction_span_equality(spark, corpus, tmp_path):
     assert got == expected  # (kind, text, media_ref, order) per doc, 100%
 
 
+def test_extraction_with_interleaved_pdf_spans(spark, tmp_path):
+    """Three-kind interleaving: text spans -> stripper, media spans -> OCR,
+    pdf spans -> PDF parser, reassembled with exact span equality. PDFs are
+    parsed once per distinct ref and joined back, like the OCR branch."""
+    import pyarrow.parquet as pq
+
+    from ocr_spark.fixtures import synthesize, synthesize_pdfs
+    from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media
+
+    corpus = str(tmp_path / "pdf_corpus")
+    os.makedirs(corpus)
+    n_pdfs = 12
+    documents, media, expected = synthesize(
+        40, 20, seed=77, n_pdfs=n_pdfs, pdf_p=0.3
+    )
+    pdf_tbl, _ = synthesize_pdfs(n_pdfs, seed=77)
+    pq.write_table(documents, os.path.join(corpus, "documents.parquet"))
+    pq.write_table(media, os.path.join(corpus, "media.parquet"))
+    pq.write_table(expected, os.path.join(corpus, "expected_spans.parquet"))
+    pq.write_table(pdf_tbl, os.path.join(corpus, "pdfs.parquet"))
+
+    configure(spark)
+    docs = read_documents(spark, corpus)
+    media_df = read_media(spark, corpus)
+    pdfs_df = spark.read.parquet(f"{corpus}/pdfs.parquet")
+    got = _spans_set(extract_spans(docs, media_df, pdfs=pdfs_df))
+    expected_set = _spans_set(spark.read.parquet(f"{corpus}/expected_spans.parquet"))
+    assert got == expected_set
+    assert any(k == "pdf" for _, _, k, _, _ in got)  # pdf branch exercised
+
+
 def test_resume_is_idempotent(spark, corpus, tmp_path):
     from ocr_spark.pipeline.job import extract, read_output
 
