@@ -108,17 +108,19 @@ def _synth_corpus(scale: str = "tiny") -> str:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full interleaved extraction. sf0.001 documents ride through
     the text-span path (stripper UDF); a deterministic synthesized corpus
-    (text+media spans, truth known by construction) exercises the OCR path.
-    Returns the reassembled span table (doc_id, ord, kind, text, media_ref).
+    (text+media+pdf spans, truth known by construction) exercises the OCR
+    and PDF-parse paths. Returns the reassembled span table
+    (doc_id, ord, kind, text, media_ref).
     """
     from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media
     from ocr_spark.pipeline.udfs import make_strip_udf
 
     configure(spark)
-    corpus = _synth_corpus("tiny")
+    corpus = _synth_corpus("tiny3")
     docs = read_documents(spark, corpus)
     media = read_media(spark, corpus)
-    synth_spans = extract_spans(docs, media, character_spacing=8.0)
+    pdfs = spark.read.parquet(f"{corpus}/pdfs.parquet")
+    synth_spans = extract_spans(docs, media, character_spacing=8.0, pdfs=pdfs)
 
     strip_udf = make_strip_udf()
     sf_docs = _docs(spark, "/root/testdata/sf0.001").select(
