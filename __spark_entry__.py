@@ -443,6 +443,75 @@ def _q_forecast_revenue(spark, sf_dir):
     )
 
 
+def _q_order_priority(spark, sf_dir):
+    """Semi-join category (TPC-H Q4 shape; EXISTS predicate on the synth
+    schema: at least one returned lineitem). left_semi keeps the probe side
+    unexpanded — no duplicate handling, no fanout."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    returned = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+def _q_small_qty_revenue(spark, sf_dir):
+    """Correlated-scalar-subquery category (TPC-H Q17 shape): revenue of
+    lineitems whose quantity is below 20% of their part's average quantity.
+    Decorrelated by hand into an aggregate + equi-join — the form Catalyst
+    rewrites to anyway, and the only shape that scales (the correlated
+    subquery would re-scan lineitem per part)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.sum("price").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_nation_trade_balance(spark, sf_dir):
+    """Full-outer-join category: per nation, customers vs suppliers counts —
+    nations present on only one side surface with a null on the other."""
+    c = (
+        _read(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    s = (
+        _read(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    )
+    return c.join(s, "nationkey", "full_outer").select(
+        "nationkey", "n_customers", "n_suppliers"
+    )
+
+
+def _q_cube(spark, sf_dir):
+    """Grouping-sets category, CUBE variant: all 4 grouping combinations of
+    returnflag x linestatus in one pass (Catalyst expands to one hash-agg
+    over the grouping-set id — not 4 scans)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
 def _q_events_json(spark, sf_dir):
     """Semi-structured category: JSON extraction from the props column."""
     ev = _read(spark, sf_dir, "events")
@@ -703,6 +772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_jaccard,
         "simhash_bits": _q_simhash,
         "q6_forecast_revenue": _q_forecast_revenue,
+        "q4_order_priority": _q_order_priority,
+        "q17_small_qty_revenue": _q_small_qty_revenue,
+        "nation_trade_balance": _q_nation_trade_balance,
+        "q1_cube": _q_cube,
         "events_json": _q_events_json,
         "q1_rollup": _q_rollup,
         "nations_intersect": _q_nations_intersect,
@@ -1050,6 +1123,45 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
               AND CAST(l_discount AS {dec}) BETWEEN CAST('0.02' AS {dec}) AND CAST('0.06' AS {dec})
               AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_returnflag = 'R'
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q17_small_qty_revenue": f"""
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS {dec})) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN (
+                SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cap
+                FROM lineitem GROUP BY l_partkey
+            ) a ON l.l_partkey = a.l_partkey
+            WHERE l.l_quantity < a.qty_cap
+        """,
+        "nation_trade_balance": """
+            SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                   c.n_customers, s.n_suppliers
+            FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                         COUNT(*)::BIGINT AS n_customers
+                  FROM customer GROUP BY 1) c
+            FULL OUTER JOIN
+                 (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                         COUNT(*)::BIGINT AS n_suppliers
+                  FROM supplier GROUP BY 1) s
+              ON c.nationkey = s.nationkey
+        """,
+        "q1_cube": f"""
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*)::BIGINT AS n,
+                   CAST(SUM(CAST(l_quantity AS {dec})) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "events_json": """
             SELECT event_type,
