@@ -17,7 +17,9 @@ SF = "/root/testdata/sf0.01"
 AUDIT = ["q1_pricing_summary","q3_order_revenue","q5_nation_volume","brand_volume",
          "events_sessionize","doc_quality","minhash_signatures","ngram_jaccard",
          "simhash_bits","emb_cosine_topk","emb_lsh_topk","emb_near_dups_lsh",
-         "winnow_fingerprints","q1_rollup","nations_except"]
+         "winnow_fingerprints","q1_rollup","nations_except",
+         "q4_order_priority","q17_small_qty_revenue","q1_cube",
+         "events_asof_click","doc_length_quantiles"]
 q = e.queries()
 for name in AUDIT:
     df = q[name](spark, SF)
