@@ -28,7 +28,10 @@ _STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # ( ... ) with escaped chars, followed by the operator
 _TJ_ONE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')")
-_TJ_ARR = re.compile(rb"\[((?:\((?:\\.|[^\\()])*\)|[^\[\]])*)\]\s*TJ")
+# the non-string alternative excludes '(' so the two branches are disjoint
+# on their first byte — an unterminated string in a crafted stream degrades
+# to a failed match, not exponential backtracking
+_TJ_ARR = re.compile(rb"\[((?:\((?:\\.|[^\\()])*\)|[^\[\]()])*)\]\s*TJ")
 _ARR_PIECE = re.compile(rb"\(((?:\\.|[^\\()])*)\)|(-?\d+(?:\.\d+)?)")
 
 _ESCAPES = {

@@ -268,6 +268,18 @@ def test_pdf_text_parser_contract():
     oct_pdf = build_pdf([["A\x29B"]], compress=False)  # ')' escaped by writer
     assert extract_text(oct_pdf) == ["A)B"]
 
+    # pathological input: unterminated strings inside a TJ bracket must fail
+    # fast (no regex backtracking blowup) and yield no text
+    import time as _time
+
+    evil = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\nBT [" + b"(" * 4000 +
+        b" garbage ET\nendstream\n%%EOF\n"
+    )
+    t0 = _time.perf_counter()
+    assert extract_text(evil) == []
+    assert _time.perf_counter() - t0 < 2.0
+
 
 def test_pdf_text_spark_operator(spark):
     """The mapInPandas plumbing: per-ref page rows in order, nulls skipped."""
