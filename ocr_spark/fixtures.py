@@ -116,20 +116,25 @@ def make_html(rng, sentence: str) -> str:
 
 
 def synthesize(n_docs: int, n_pages: int, skew: bool = False, seed: int = SEED,
-               n_pdfs: int = 0, pdf_p: float = 0.0):
+               n_pdfs: int = 0, pdf_p: float = 0.0, pdf_expected=None):
     """Return (documents, media, expected_spans) pyarrow tables.
 
     With ``n_pdfs``/``pdf_p`` set, documents interleave a third span kind
     ``pdf`` referencing the deterministic PDF pool (same refs/truths as
     ``synthesize_pdfs(n_pdfs, seed)`` — regenerate the pool with the same
-    args to get the matching ``pdfs`` table). pdf_p=0 consumes no extra rng
-    draws, so corpora without PDFs are bit-identical to earlier versions."""
+    args to get the matching ``pdfs`` table, or pass its expected table as
+    ``pdf_expected`` to avoid building the pool twice). pdf_p=0 consumes no
+    extra rng draws, so corpora without PDFs are bit-identical to earlier
+    versions."""
     rng = np.random.default_rng(seed)
     glyphs = load_glyphs()
 
     pdf_refs, pdf_truths = [], []
     if n_pdfs:
-        _, pdf_exp = synthesize_pdfs(n_pdfs, seed=seed)
+        pdf_exp = (
+            pdf_expected if pdf_expected is not None
+            else synthesize_pdfs(n_pdfs, seed=seed)[1]
+        )
         per_ref: dict[str, list[tuple[int, str]]] = {}
         for ref, pi, txt in zip(
             pdf_exp.column("media_ref").to_pylist(),
@@ -306,7 +311,7 @@ def synthesize_pdfs(n_pdfs: int, seed: int = SEED):
     from .pdf import build_pdf
 
     rng = np.random.default_rng(seed + 17)
-    refs, blobs, page_idxs, truths = [], [], [], []
+    refs, blobs = [], []
     rows_ref, rows_idx, rows_text = [], [], []
     for i in range(n_pdfs):
         n_pages = int(rng.integers(1, 4))
@@ -340,9 +345,11 @@ def synthesize_pdfs(n_pdfs: int, seed: int = SEED):
 def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False,
                  seed: int = SEED, pdf_p: float = 0.0):
     n_pdfs = max(8, n_pages // 2)
+    pdfs, pdf_expected = synthesize_pdfs(n_pdfs, seed=seed)
     documents, media, expected = synthesize(
         n_docs, n_pages, skew=skew, seed=seed,
         n_pdfs=n_pdfs if pdf_p > 0 else 0, pdf_p=pdf_p,
+        pdf_expected=pdf_expected if pdf_p > 0 else None,
     )
     os.makedirs(out_dir, exist_ok=True)
     # small row groups: a parquet file is only splittable at row-group
@@ -352,7 +359,6 @@ def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False,
     pq.write_table(expected, os.path.join(out_dir, "expected_spans.parquet"))
     audio = synthesize_audio(max(8, n_pages // 2), seed=seed)
     pq.write_table(audio, os.path.join(out_dir, "audio.parquet"), row_group_size=512)
-    pdfs, pdf_expected = synthesize_pdfs(max(8, n_pages // 2), seed=seed)
     pq.write_table(pdfs, os.path.join(out_dir, "pdfs.parquet"), row_group_size=512)
     pq.write_table(pdf_expected, os.path.join(out_dir, "pdf_expected.parquet"))
     return documents.num_rows, media.num_rows, expected.num_rows

@@ -229,9 +229,19 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         changed = new_labels.where(F.col("component") != F.col("_old")).count()
+        # rebinding drops the previous checkpoint's last reference; the
+        # ContextCleaner then releases its cached blocks, so at most two
+        # label snapshots are live at once (not one per iteration)
         labels = new_labels.drop("_old")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iters} iterations "
+            f"({changed} labels still changing) — the candidate graph is far "
+            "larger-diameter than any near-dup clustering should produce; "
+            "raise max_iters only after checking the upstream candidate caps"
+        )
     return labels
 
 

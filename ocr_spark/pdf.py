@@ -53,13 +53,13 @@ def _unescape(raw: bytes) -> bytes:
         if nxt in _ESCAPES:
             out += _ESCAPES[nxt]
             i += 2
-        elif nxt.isdigit():
+        elif nxt and nxt in b"01234567":  # octal digits ONLY: \8 means '8'
             j = i + 1
-            while j < n and j < i + 4 and raw[j : j + 1].isdigit():
+            while j < n and j < i + 4 and raw[j] in b"01234567":
                 j += 1
             out.append(int(raw[i + 1 : j], 8) & 0xFF)
             i = j
-        else:  # lone backslash before EOL etc: drop the backslash
+        else:  # backslash before any other char (incl. 8/9, EOL): drop it
             i += 1
     return bytes(out)
 

@@ -69,6 +69,20 @@ def read_media(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def read_pdfs(spark: SparkSession, input_dir: str) -> DataFrame | None:
+    """Optional third-modality table (three-kind corpora): None when the
+    corpus has no pdfs.parquet, so plain text+media corpora plan exactly as
+    before — but a corpus that DOES ship pdfs gets its pdf spans routed
+    instead of silently dropped."""
+    path = f"{input_dir}/pdfs.parquet"
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return spark.read.schema("media_ref string, pdf binary").parquet(path)
+
+
 def extract_spans(
     docs: DataFrame,
     media: DataFrame,
@@ -128,82 +142,66 @@ def extract_spans(
         )
     )
 
-    media_rows = exploded.where(F.col("kind") == "media").select(
-        "doc_id", "ord", "kind", "media_ref"
-    )
-    # OCR per DISTINCT media_ref, not per span occurrence: duplicated media
-    # (hot images referenced by many docs) is recognized exactly once and
-    # the text joined back — the kernel cost scales with |distinct media|,
-    # and a hot media_ref can no longer skew the expensive stage at all.
-    needed_refs = media_rows.select("media_ref").distinct()
-    pages = media.join(needed_refs, "media_ref")
-    if salt:
-        # spread the kernel uniformly over an explicit-width shuffle keyed
-        # by a SALT column, not by media_ref: an exchange on the join key
-        # itself gets eliminated as redundant once the join-back requires
-        # the same partitioning, silently dropping the kernel onto whatever
-        # (often 1-partition, AQE-coalesced) distribution the semi-join
-        # produced. A salt key is never redundant and never byte-coalesced,
-        # so the CPU-bound stage keeps its width no matter what the
-        # byte-based planner thinks of these "small" rows.
-        # the salt stays FULL-cardinality (raw crc32, no % partitions): the
-        # shuffle hashes the salt again, and hashing only `partitions`
-        # distinct values into `partitions` buckets is balls-in-bins — some
-        # tasks get 3-4 salts, some none (measured: 3.4x straggler tasks)
-        pages = pages.withColumn(
-            "_salt", F.crc32(F.col("media_ref"))
-        ).repartition(partitions, "_salt")
-    ocr_udf = make_ocr_udf(character_spacing=character_spacing)
-    recognized = pages.select(
-        "media_ref", ocr_udf(F.col("png")).alias("out_text")
-    )
-    # join-back MUST be a shuffle join, not broadcast: AQE would otherwise
-    # build `recognized` as a broadcast stage whose shuffle is taken with a
-    # LOCAL read (one task per mapper) — with a narrow media scan that
-    # collapses the whole OCR UDF onto one core. At 10^12 rows the OCR
-    # output is never broadcastable anyway; SHUFFLE_HASH keeps the kernel
-    # above a real 'partitions'-wide shuffle read and reuses the media_ref
-    # partitioning for the probe.
-    media_out = media_rows.join(recognized.hint("SHUFFLE_HASH"), "media_ref", "left").select(
-        "doc_id",
-        "ord",
-        "kind",
-        F.col("out_text").alias("text"),
-        "media_ref",
-    )
+    def route_by_distinct_ref(kind: str, blobs: DataFrame, kernel) -> DataFrame:
+        """Shared shape for every expensive per-blob cost class (OCR, PDF):
+        process each DISTINCT media_ref once, join the text back to span
+        occurrences — kernel cost scales with |distinct refs| and a hot ref
+        (one image/pdf referenced by many docs) cannot skew the stage.
 
+        Salting: the kernel input is spread over an explicit-width shuffle
+        keyed by a SALT column, not by media_ref — an exchange on the join
+        key itself gets eliminated as redundant once the join-back requires
+        the same partitioning, silently dropping the kernel onto whatever
+        (often 1-partition, AQE-coalesced) distribution the semi-join
+        produced. The salt stays FULL-cardinality (raw crc32, no
+        % partitions): hashing only `partitions` distinct values into
+        `partitions` buckets is balls-in-bins (measured: 3.4x stragglers).
+
+        Join-back: MUST be a shuffle join (SHUFFLE_HASH hint), never
+        broadcast — AQE would otherwise take the kernel's shuffle with a
+        LOCAL read (one task per mapper), collapsing the whole Python stage
+        onto one core; at 10^12 rows the output is never broadcastable
+        anyway. ``kernel(blobs) -> (media_ref, out_text)``.
+        """
+        rows = exploded.where(F.col("kind") == kind).select(
+            "doc_id", "ord", "kind", "media_ref"
+        )
+        needed = rows.select("media_ref").distinct()
+        pending = blobs.join(needed, "media_ref")
+        if salt:
+            pending = pending.withColumn(
+                "_salt", F.crc32(F.col("media_ref"))
+            ).repartition(partitions, "_salt")
+        processed = kernel(pending)
+        return rows.join(processed.hint("SHUFFLE_HASH"), "media_ref", "left").select(
+            "doc_id", "ord", "kind", F.col("out_text").alias("text"), "media_ref"
+        )
+
+    ocr_udf = make_ocr_udf(character_spacing=character_spacing)
+    media_out = route_by_distinct_ref(
+        "media", media,
+        lambda pages: pages.select("media_ref", ocr_udf(F.col("png")).alias("out_text")),
+    )
     out = text_out.unionByName(media_out)
 
     if pdfs is not None:
-        # third cost class, same scale shape as the OCR branch: parse each
-        # DISTINCT pdf once (semi-join on the refs this doc slice needs),
-        # join page texts back to span occurrences. Parsing is ~10x cheaper
-        # than OCR but still Python — it rides the same salted width.
+        # third cost class, ~10x cheaper than OCR but still Python: parse
+        # each distinct pdf, concatenate its page texts in page order
         from ..functions.multimodal import pdf_text
 
-        pdf_rows = exploded.where(F.col("kind") == "pdf").select(
-            "doc_id", "ord", "kind", "media_ref"
-        )
-        needed_pdfs = pdf_rows.select("media_ref").distinct()
-        blobs = pdfs.join(needed_pdfs, "media_ref")
-        if salt:
-            blobs = blobs.withColumn(
-                "_salt", F.crc32(F.col("media_ref"))
-            ).repartition(partitions, "_salt")
-        parsed = (
-            pdf_text(blobs)
-            .groupBy("media_ref")
-            .agg(
-                F.concat_ws(
-                    " ", F.array_sort(F.collect_list(F.struct("page_idx", "text")))
-                    .getField("text")
-                ).alias("out_text")
+        def parse_pdfs(blobs: DataFrame) -> DataFrame:
+            return (
+                pdf_text(blobs)
+                .groupBy("media_ref")
+                .agg(
+                    F.concat_ws(
+                        " ", F.array_sort(F.collect_list(F.struct("page_idx", "text")))
+                        .getField("text")
+                    ).alias("out_text")
+                )
             )
-        )
-        pdf_out = pdf_rows.join(parsed.hint("SHUFFLE_HASH"), "media_ref", "left").select(
-            "doc_id", "ord", "kind", F.col("out_text").alias("text"), "media_ref"
-        )
-        out = out.unionByName(pdf_out)
+
+        out = out.unionByName(route_by_distinct_ref("pdf", pdfs, parse_pdfs))
 
     return out
 
@@ -280,6 +278,7 @@ def extract(
 
     docs = read_documents(spark, input_dir)
     media = read_media(spark, input_dir)
+    pdfs = read_pdfs(spark, input_dir)
     manifest_dir = f"{output_dir}/_manifest"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -301,7 +300,7 @@ def extract(
         # driver-serial — file count, not data size, was the scaling ceiling
         out = (
             extract_spans(subset, media, character_spacing, salt=salt,
-                          partitions=partitions)
+                          partitions=partitions, pdfs=pdfs)
             .withColumn("bucket", (F.crc32(F.col("doc_id")) % buckets).cast("int"))
             .repartition(max(4 * len(wave), 1), "bucket", "doc_id")
         )

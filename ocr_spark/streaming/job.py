@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schemas import DOCUMENTS
-from ..pipeline.job import extract_spans, read_media
+from ..pipeline.job import extract_spans, read_media, read_pdfs
 
 
 def stream_extract(
@@ -41,6 +41,7 @@ def stream_extract(
     """Start (and with ``available_now`` run to completion) the streaming
     extraction over a directory of documents parquet files."""
     media = read_media(spark, media_dir)
+    pdfs = read_pdfs(spark, media_dir)
 
     reader = spark.readStream.schema(DOCUMENTS)
     if max_files_per_trigger:
@@ -48,7 +49,8 @@ def stream_extract(
     docs = reader.parquet(stream_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_spans(batch_df, media, character_spacing=character_spacing)
+        out = extract_spans(batch_df, media, character_spacing=character_spacing,
+                            pdfs=pdfs)
         (
             out.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

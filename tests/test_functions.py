@@ -268,6 +268,14 @@ def test_pdf_text_parser_contract():
     oct_pdf = build_pdf([["A\x29B"]], compress=False)  # ')' escaped by writer
     assert extract_text(oct_pdf) == ["A)B"]
 
+    # escape edge cases: \101 octal, \8 and \9 are literal digits (not octal
+    # — must not crash), bare trailing backslash is dropped
+    esc = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nstream\n"
+        b"BT (\\101 \\8\\9 x\\\\) Tj ET\nendstream\n%%EOF\n"
+    )
+    assert extract_text(esc) == ["A 89 x\\"]
+
     # pathological input: unterminated strings inside a TJ bracket must fail
     # fast (no regex backtracking blowup) and yield no text
     import time as _time

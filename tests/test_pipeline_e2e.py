@@ -88,6 +88,14 @@ def test_extraction_with_interleaved_pdf_spans(spark, tmp_path):
     assert got == expected_set
     assert any(k == "pdf" for _, _, k, _, _ in got)  # pdf branch exercised
 
+    # the full job auto-wires pdfs.parquet: pdf spans must survive extract()
+    # (a silent drop here would undercount the manifest and break parity)
+    from ocr_spark.pipeline.job import extract, read_output
+
+    out_dir = str(tmp_path / "pdf_out")
+    extract(spark, corpus, out_dir, buckets=2)
+    assert _spans_set(read_output(spark, out_dir)) == expected_set
+
 
 def test_resume_is_idempotent(spark, corpus, tmp_path):
     from ocr_spark.pipeline.job import extract, read_output
