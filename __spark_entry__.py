@@ -555,11 +555,16 @@ def _q_nations_except(spark, sf_dir):
 
 def _q_lsh_jaccard_est(spark, sf_dir):
     """MinHash band agreement as a Jaccard estimator, joined against the
-    true n-gram Jaccard for every candidate pair — the dedup quality gauge."""
-    from ocr_spark.functions.dedup import jaccard_pairs, minhash_signatures, shingles
+    true n-gram Jaccard for every candidate pair — the dedup quality gauge.
+    Both self-joins carry the web-scale caps the sibling dedup queries use:
+    the shingle join is DF-capped (df_max) and the band-agreement join is
+    bucket-capped (cap_hot_buckets) — one stop-phrase shingle can no longer
+    re-create the ~10^12-pair join group at corpus scale."""
+    from ocr_spark.functions.dedup import (
+        cap_hot_buckets, jaccard_pairs, minhash_signatures, shingles)
 
     sh = shingles(_docs(spark, sf_dir))
-    sig = minhash_signatures(sh)
+    sig = cap_hot_buckets(minhash_signatures(sh), _DF_MAX)
     # equi-join on the (band, minhash) bucket key — never a per-band cross
     # join; pairs agreeing on zero bands simply don't appear (estimate 0)
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "minhash")
@@ -570,7 +575,7 @@ def _q_lsh_jaccard_est(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("bands_agree"))
     )
-    true_j = jaccard_pairs(sh, min_common=2)
+    true_j = jaccard_pairs(sh, min_common=2, df_max=_DF_MAX)
     return true_j.join(agree, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",
@@ -1189,7 +1194,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(s_nationkey AS BIGINT) FROM supplier
         """,
         "lsh_jaccard_est": f"""
-            WITH sh AS ({_SQL_SHINGLES}),
+            WITH sh0 AS ({_SQL_SHINGLES}),
+            sh AS ({_SQL_SHINGLES_CAPPED.format(df_max=_DF_MAX)}),
             sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
@@ -1203,7 +1209,10 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sa ON sa.doc_id = common.doc_a
                 JOIN sizes sb ON sb.doc_id = common.doc_b
             ),
-            sig AS ({_SQL_MINHASH}),
+            sig0 AS ({_SQL_MINHASH}),
+            hot AS (SELECT band, minhash FROM sig0
+                    GROUP BY 1, 2 HAVING COUNT(*) > {_DF_MAX}),
+            sig AS (SELECT sig0.* FROM sig0 ANTI JOIN hot USING (band, minhash)),
             agree AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS bands_agree
                 FROM sig a JOIN sig b

@@ -102,24 +102,31 @@ def cap_shingle_df(sh: DataFrame, df_max: int, id_col: str = "doc_id") -> DataFr
     )
 
 
+def cap_hot_buckets(sig: DataFrame, bucket_max: int) -> DataFrame:
+    """Drop degenerate (band, minhash) buckets holding more than
+    ``bucket_max`` docs before any bucket self-join (a bucket of B docs
+    emits B^2/2 pairs; such buckets only arise from stop-phrase shingles,
+    which carry no near-dup signal). Count window over the bucket key —
+    rides the exchange+sort the downstream self-join already pays (the
+    measured-fast cap form, see cap_shingle_df)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "minhash")
+    return (
+        sig.withColumn("_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_n") <= bucket_max)
+        .drop("_n")
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, bucket_max: int | None = None,
                         id_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, minhash) bucket.
     Equi-join on the bucket key — no cartesian product; skew-resistant
-    because md5 buckets are uniform. ``bucket_max`` drops degenerate buckets
-    holding more than that many docs before the self-join (a bucket of B
-    docs emits B^2/2 pairs; such buckets only arise from stop-phrase
-    shingles, which carry no near-dup signal). Output: (doc_a, doc_b)
-    distinct."""
+    because md5 buckets are uniform. ``bucket_max`` caps degenerate buckets
+    via cap_hot_buckets. Output: (doc_a, doc_b) distinct."""
     if bucket_max is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "minhash")
-        sig = (
-            sig.withColumn("_n", F.count(F.lit(1)).over(w))
-            .where(F.col("_n") <= bucket_max)
-            .drop("_n")
-        )
+        sig = cap_hot_buckets(sig, bucket_max)
     a = sig.select(F.col(id_col).alias("doc_a"), "band", "minhash")
     b = sig.select(F.col(id_col).alias("doc_b"), "band", "minhash")
     return (

@@ -138,6 +138,38 @@ def test_shingle_df_cap_bounds_hot_join_groups(spark):
     assert lsh_candidate_pairs(sig, bucket_max=1).count() == 0
 
 
+def test_lsh_jaccard_est_capped_under_skew(spark, tmp_path):
+    """The committed lsh_jaccard_est query carries BOTH web-scale caps
+    (shingle DF cap on the true-Jaccard self-join, hot-bucket cap on the
+    band-agreement self-join). Skew corpus: a stop-phrase shared by 120
+    docs (> _DF_MAX=100). Uncapped jaccard would emit >=120*119/2 pairs
+    from that one phrase; the committed query drops the hot join groups
+    and returns zero rows — bounded at any corpus size."""
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from ocr_spark.functions.dedup import jaccard_pairs, shingles
+
+    n_docs = 400
+    hot = int(n_docs * 0.3)  # 120 > _DF_MAX -> both caps fire
+    rows = []
+    for i in range(n_docs):
+        body = f"unique{i}a unique{i}b unique{i}c unique{i}d"
+        if i < hot:
+            body += " click here to subscribe"
+        rows.append({"doc_id": f"d{i:03d}", "text": body})
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "documents.parquet"))
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    # the blowup the caps exist to prevent: the stop-phrase alone ties
+    # every hot-doc pair together ("click here to" + "here to subscribe"
+    # = 2 common shingles, passing min_common=2)
+    uncapped = jaccard_pairs(shingles(docs), min_common=2).count()
+    assert uncapped >= hot * (hot - 1) // 2
+    got = entrymod.queries()["lsh_jaccard_est"](spark, str(tmp_path))
+    assert got.count() == 0
+
+
 def test_asof_join_semantics(spark):
     """Inclusive as-of with deterministic ties: equal-ts right rows resolve
     to the max tie id; left rows before any right row get nulls; matches
