@@ -280,10 +280,14 @@ def _q_token_histogram(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    # TakeOrdered shape (orderBy+limit = per-partition heaps), rank derived
+    # over only the 50 survivors — no single-partition window over the full
+    # vocabulary (see functions/events.py:top_users for the scale rationale)
+    order = [F.desc("n"), F.asc("token")]
+    top = counts.orderBy(*order).limit(50)
+    w = Window.orderBy(*order)
     return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= 50)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("token", "n", "rnk")
     )
 

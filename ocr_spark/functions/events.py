@@ -104,11 +104,18 @@ def asof_join(
 
 
 def top_users(df: DataFrame, k: int = 5) -> DataFrame:
-    """Users ranked by event count; dense_rank keeps ties deterministic."""
+    """Users ranked by event count, ties broken by user_id.
+
+    Scale shape: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    k-row heaps, k rows total to the driver — so no global sort and no
+    single-partition Exchange over the full aggregate (at 10^9 users a global
+    row_number window would funnel every user through ONE task). The rank
+    window then runs over only the k survivors."""
     counts = df.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    order = [F.desc("n_events"), F.asc("user_id")]
+    top = counts.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
-        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("user_id", "n_events", "rnk")
     )

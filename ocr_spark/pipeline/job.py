@@ -114,7 +114,11 @@ def extract_spans(
         # stripper and the join probe all run at full width. At real scale
         # the input is thousands of files and the scan is already wide, so
         # only repartition when the scan is narrower than the target.
-        if docs.rdd.getNumPartitions() < partitions // 2:
+        # Width probe via inputFiles() — a pure metadata call; df.rdd here
+        # would force a whole plan-to-RDD translation per extract call. A
+        # few-files-but-splittable scan may repartition redundantly (one
+        # cheap shuffle); a many-files scan correctly skips it.
+        if len(docs.inputFiles()) < partitions // 2:
             docs = docs.repartition(partitions, "doc_id")
     exploded = docs.select(
         "doc_id", F.posexplode("spans").alias("ord", "span")

@@ -19,7 +19,8 @@ AUDIT = ["q1_pricing_summary","q3_order_revenue","q5_nation_volume","brand_volum
          "simhash_bits","emb_cosine_topk","emb_lsh_topk","emb_near_dups_lsh",
          "winnow_fingerprints","q1_rollup","nations_except",
          "q4_order_priority","q17_small_qty_revenue","q1_cube",
-         "events_asof_click","doc_length_quantiles"]
+         "events_asof_click","doc_length_quantiles",
+         "events_top_users","token_histogram","lsh_jaccard_est"]
 q = e.queries()
 for name in AUDIT:
     df = q[name](spark, SF)
@@ -35,7 +36,11 @@ for name in AUDIT:
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     n_py = len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapsInPandas|MapInPandas", plan))
     n_cart = len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan))
-    print(f"== {name}: exchanges={n_exch} bcastJoin={n_bhj} shuffleJoin={n_smj} codegen={n_wsc} pythonNodes={n_py} cartesian={n_cart}")
+    # single-partition exchanges (a global-sort/global-window funnel unless
+    # the input is already limit-bounded); top-k queries must show 0 here
+    n_sp = len(re.findall(r"SinglePartition", plan))
+    n_tko = len(re.findall(r"TakeOrderedAndProject", plan))
+    print(f"== {name}: exchanges={n_exch} bcastJoin={n_bhj} shuffleJoin={n_smj} codegen={n_wsc} pythonNodes={n_py} cartesian={n_cart} singlePartExch={n_sp} takeOrdered={n_tko}")
     for p in pushed[:4]:
         print(f"   pushed: [{p[:100]}]")
     for s in schemas[:4]:
