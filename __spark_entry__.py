@@ -653,11 +653,98 @@ def _q_lang_ngram(spark, sf_dir):
 
 
 def _q_ivf_topk(spark, sf_dir):
-    """Non-SQL-expressible (k-means quantizer): IVF approximate top-k; the
-    recall-vs-brute-force contract is asserted in tests/test_functions.py."""
+    """IVF approximate top-k, oracle-checked: the Lloyd trainer quantizes
+    centroids to 1e-6 per iteration, so the DuckDB twin (_sql_ivf_topk)
+    replays the SAME training as unrolled SQL iterations and reaches
+    bit-identical centroids; recall-vs-brute-force is separately asserted
+    in tests/test_functions.py."""
     from ocr_spark.functions.similarity import ivf_topk
 
     return ivf_topk(_read(spark, sf_dir, "embeddings"))
+
+
+def _sql_ivf_topk(n_clusters: int = 16, iters: int = 10, sample_mod: int = 1,
+                  sample_cap: int = 4096, nprobe: int = 4, n_queries: int = 8,
+                  k: int = 3) -> str:
+    """DuckDB replay of similarity.ivf_topk, INCLUDING the quantizer
+    training: Lloyd iterations are unrolled as CTE pairs (a{i} = assignment
+    via ROW_NUMBER over (distance, cid); c{i} = per-dimension AVG rounded to
+    1e-6, empty clusters keeping the previous centroid via COALESCE — the
+    exact update rule of train_ivf_centroids). Distance ordering uses
+    list_distance (euclidean) vs NumPy's squared-L2: monotonic, same argmin.
+    Then: distributed assignment of all vectors to the final centroids,
+    nprobe nearest lists per query, cosine top-k — mirroring emb_lsh_topk's
+    twin shapes."""
+    cte = [f"""
+        samp AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS vec
+            FROM embeddings WHERE vec_id % {sample_mod} = 0
+            ORDER BY vec_id LIMIT {sample_cap}
+        ),
+        c0 AS MATERIALIZED (
+            SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cid, vec
+            FROM (SELECT vec_id, vec FROM samp ORDER BY vec_id LIMIT {n_clusters})
+        )"""]
+    for i in range(1, iters + 1):
+        cte.append(f"""
+        a{i} AS MATERIALIZED (
+            SELECT cid, vec FROM (
+                SELECT s.vec, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                           ORDER BY list_distance(s.vec, c.vec), c.cid) AS rn
+                FROM samp s CROSS JOIN c{i - 1} c
+            ) WHERE rn = 1
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT cid, list(mval ORDER BY pos) AS vec FROM (
+                SELECT cid, pos, ROUND(AVG(val), 6) AS mval
+                FROM (SELECT cid, UNNEST(vec) AS val,
+                             UNNEST(generate_series(1, len(vec))) AS pos
+                      FROM a{i})
+                GROUP BY cid, pos
+            ) GROUP BY cid
+        ),
+        c{i} AS MATERIALIZED (
+            SELECT c.cid, COALESCE(m.vec, c.vec) AS vec
+            FROM c{i - 1} c LEFT JOIN m{i} m USING (cid)
+        )""")
+    cte.append(f"""
+        n AS MATERIALIZED (
+            SELECT vec_id, vec, nrm, cid AS cluster FROM (
+                SELECT e.vec_id, e.vec, e.nrm, f.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.vec, f.vec), f.cid) AS rn
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS vec,
+                             sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                           x -> x * x))) AS nrm
+                      FROM embeddings) e CROSS JOIN c{iters} f
+            ) WHERE rn = 1
+        ),
+        probes AS MATERIALIZED (
+            SELECT query_id, cid AS cluster FROM (
+                SELECT q.vec_id AS query_id, f.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_distance(q.vec, f.vec), f.cid) AS rn
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS vec
+                      FROM embeddings WHERE vec_id < {n_queries}) q
+                CROSS JOIN c{iters} f
+            ) WHERE rn <= {nprobe}
+        ),
+        pairs AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, o.vec_id AS neighbor_id,
+                   list_dot_product(q.vec, o.vec) / (q.nrm * o.nrm) AS sim
+            FROM n q
+            JOIN probes p ON p.query_id = q.vec_id
+            JOIN n o ON o.cluster = p.cluster AND o.vec_id <> q.vec_id
+            WHERE q.vec_id < {n_queries}
+        )""")
+    return "WITH" + ",".join(cte) + f"""
+        SELECT query_id, neighbor_id, rnk, round(sim, 4) AS sim_r4 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id)::BIGINT AS rnk
+            FROM pairs
+        ) WHERE rnk <= {k}
+    """
 
 
 def _q_ocr_extract(spark, sf_dir):
@@ -1312,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs
             ) WHERE rnk <= 3
         """,
+        "emb_ivf_topk": _sql_ivf_topk(),
         # flagship extraction vs by-construction truth: the synthesized
         # corpus's expected_spans.parquet is the reference answer (rendered
         # words + pre-strip sentences), so the oracle is a plain read of it

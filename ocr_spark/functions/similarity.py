@@ -161,6 +161,15 @@ def train_ivf_centroids(df, n_clusters: int = 16, iters: int = 10,
     init = first n_clusters sampled vectors in vec_id order, fixed iteration
     count, no RNG.
 
+    Updated centroids are quantized to 1e-6 after every Lloyd iteration.
+    This makes the trainer REPLAYABLE by any engine that can compute a
+    per-cluster mean (the DuckDB oracle twin unrolls the same iterations in
+    SQL): float summation-order noise between engines is ~1e-13 relative,
+    so quantizing each iteration's output keeps the centroid sequences
+    bit-identical instead of letting the noise compound across iterations.
+    Empty clusters keep their previous (unquantized-init or prior-rounded)
+    centroid on both sides.
+
     Driver memory is bounded by ``sample_cap`` regardless of table size:
     orderBy+limit plans as TakeOrdered (per-partition top-K heaps, no full
     sort), so at 10^12 rows the collect still moves only ``sample_cap``
@@ -182,7 +191,7 @@ def train_ivf_centroids(df, n_clusters: int = 16, iters: int = 10,
         for c in range(n_clusters):
             m = a == c
             if m.any():
-                C[c] = X[m].mean(axis=0)
+                C[c] = np.round(X[m].mean(axis=0), 6)
     return C
 
 
@@ -226,7 +235,7 @@ def ivf_topk(df, k: int = 3, n_queries: int = 8, n_clusters: int = 16,
     for r in q_rows:
         qv = np.array(r[1], dtype=np.float64)
         d = ((C - qv[None, :]) ** 2).sum(axis=1)
-        for c in np.argsort(d)[:nprobe]:
+        for c in np.argsort(d, kind="stable")[:nprobe]:
             probes.append((int(r[0]), int(c)))
     # SQL VALUES literal (JVM LocalRelation): a python-list createDataFrame
     # spins up a Python runner job (~5 s on this box) for a few dozen rows
