@@ -1357,18 +1357,29 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) > 0.3
         """,
+        # banded OR-construction: candidates agree on ANY band's sign
+        # pattern (band b covers dims b*8+1..b*8+8), then exact re-check
         "emb_near_dups_lsh": """
             WITH n AS (
                 SELECT vec_id, embedding::DOUBLE[] AS vec,
-                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
-                       CAST(list_sum(list_transform(generate_series(0, 7),
-                            d -> CASE WHEN embedding[d + 1] > 0
-                                      THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
                 FROM embeddings
+            ),
+            bk AS (
+                SELECT vec_id, b AS band,
+                       CAST(list_sum(list_transform(generate_series(0, 7),
+                            d -> CASE WHEN embedding[b * 8 + d + 1] > 0
+                                      THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                FROM embeddings, UNNEST(generate_series(0, 3)) AS t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+                FROM bk a JOIN bk b2
+                  ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
             )
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            SELECT c.vec_a, c.vec_b,
                    round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 4) AS sim_r4
-            FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
             WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) > 0.3
         """,
         "emb_bucket_hist": """

@@ -118,31 +118,65 @@ def bucketed_topk(
     )
 
 
+def banded_sign_buckets(
+    df: DataFrame,
+    n_bits: int = 8,
+    n_bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Long-format banded sign-LSH table: (id, band, bucket) where band b's
+    bucket is the sign pattern of dimensions [b*n_bits+1 .. (b+1)*n_bits].
+    The OR-construction over bands (same pattern as the MinHash band table,
+    dedup.minhash_signatures): a near-dup pair is a candidate if it agrees
+    on ANY band's full bit pattern, so recall rises with n_bands while each
+    band keeps the equi-join selectivity of an n_bits bucket."""
+    buckets = F.expr(
+        "transform(sequence(0, {B}), b -> aggregate(sequence(0, {m}), 0L, "
+        "(acc, d) -> acc + CASE WHEN element_at({v}, b * {nb} + d + 1) > 0 "
+        "THEN shiftleft(1L, d) ELSE 0L END))".format(
+            B=n_bands - 1, m=n_bits - 1, v=vec_col, nb=n_bits
+        )
+    )
+    return df.select(F.col(id_col), F.posexplode(buckets).alias("band", "bucket"))
+
+
 def near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.3,
     n_bits: int = 8,
+    n_bands: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Scale-safe embedding near-duplicate pairs: sign-LSH bucket equi-join
-    generates candidates (docs in the same bucket only), then the exact
-    cosine predicate re-checks each candidate. The plan contains no cartesian
-    / broadcast-nested-loop node — the join is a plain shuffle equi-join on
-    ``bucket``, so at 10^12 rows cost is sum of squared bucket sizes, not
-    n^2. Approximate by design: cross-bucket near-dups are missed (recall
-    rises with fewer bits / multiple bucket tables). Output:
-    (vec_a, vec_b, sim_r4), same shape as the brute-force oracle form."""
-    base = _bucketed_base(df, n_bits, vec_col, id_col)
-    a = base.select(
-        F.col(id_col).alias("vec_a"), F.col("vec").alias("va"),
-        F.col("norm").alias("na"), "bucket",
+    """Scale-safe embedding near-duplicate pairs: a banded sign-LSH equi-join
+    generates candidates (pairs agreeing on any band's full sign pattern),
+    then the exact cosine predicate re-checks each candidate. The plan
+    contains no cartesian / broadcast-nested-loop node — candidate
+    generation is ONE shuffle equi-join on (band, bucket) over the long
+    table, so at 10^12 rows cost is the sum of squared bucket sizes per
+    band, not n^2. Band 0 reproduces the former single-table behavior;
+    bands 1..n-1 recover cross-bucket near-dups it missed (the recall
+    contract vs the brute-force baseline is asserted in
+    tests/test_functions.py). Output: (vec_a, vec_b, sim_r4), same shape as
+    the brute-force oracle form."""
+    bk = banded_sign_buckets(df, n_bits, n_bands, vec_col, id_col)
+    a = bk.select(F.col(id_col).alias("vec_a"), "band", "bucket")
+    b = bk.select(F.col(id_col).alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    b = base.select(
-        F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"),
-        F.col("norm").alias("nb"), "bucket",
+    base = with_norms(df, vec_col, id_col)
+    va = base.select(
+        F.col(id_col).alias("vec_a"), F.col("vec").alias("va"), F.col("norm").alias("na")
     )
-    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    vb = base.select(
+        F.col(id_col).alias("vec_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = cand.join(va, "vec_a").join(vb, "vec_b")
     sim = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("sim", sim)

@@ -74,6 +74,26 @@ def test_near_dup_lsh_subset_of_brute_force(spark):
     assert all(brute[k] == v for k, v in lsh.items())
 
 
+def test_banded_lsh_recall_contract(spark):
+    """OR-construction recall contract at sf0.001 (deterministic data):
+    banded candidates strictly contain band 0's (the former single-table
+    behavior), and recall vs the brute-force baseline clears a measured
+    floor (banded: 0.0739 on this corpus; single-band was 0.026)."""
+    import __spark_entry__ as entrymod
+    from ocr_spark.functions.similarity import near_dup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    brute = {(r.vec_a, r.vec_b) for r in
+             entrymod.queries()["emb_near_dups"](spark, SF).collect()}
+    banded = {(r.vec_a, r.vec_b) for r in near_dup_pairs_lsh(emb).collect()}
+    single = {(r.vec_a, r.vec_b) for r in
+              near_dup_pairs_lsh(emb, n_bands=1).collect()}
+    assert single <= banded <= brute
+    recall = len(banded & brute) / len(brute)
+    assert recall >= 0.05, f"banded recall {recall:.4f} below floor"
+    assert len(banded) > len(single)
+
+
 def test_sign_lsh_finds_planted_near_duplicate(spark):
     """The LSH promise: a vector similar enough to share all sign bits lands
     in the same bucket and is retrieved as the top neighbor. (Random 64-dim
