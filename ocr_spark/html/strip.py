@@ -67,13 +67,30 @@ _ENTITIES = [
 ]
 
 
+# Each replacement pass strictly shrinks the strings, so the loop always
+# terminates at a true fixpoint; the cap only bounds adversarial cost
+# (a K-deep same-tag nest needs K innermost-first passes, each a full
+# regex sweep). Rows still holding a container opener after the cap get
+# the residual sweep below: the subtree is dropped wholesale rather than
+# leaking its text into block scoring.
+_MAX_FIXPOINT_PASSES = 256
+_RESIDUAL_CONTAINER = re.compile(
+    # first remaining opener to its last same-tag close; only when no close
+    # tag exists at all does the match extend to end of string (the EOS
+    # branch must be a separate alternative — `(?:</tag>|$)` would let the
+    # greedy .* always run to EOS)
+    r"<(nav|footer|header|aside|form)\b[^>]*>(?:.*</\1\s*>|.*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def _fixpoint(s: pd.Series, pattern: re.Pattern) -> pd.Series:
-    for _ in range(10):
+    for _ in range(_MAX_FIXPOINT_PASSES):
         s2 = s.str.replace(pattern, " ", regex=True)
         if s2.equals(s):
-            break
+            return s
         s = s2
-    return s
+    return s.str.replace(_RESIDUAL_CONTAINER, " ", regex=True)
 
 
 def _drop_containers(s: pd.Series) -> pd.Series:

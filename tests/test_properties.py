@@ -126,6 +126,31 @@ def test_strip_html_nested_same_tag_containers():
     assert strip_html(pd.Series([deep]))[0] == "keep this main text"
 
 
+def test_strip_html_deep_nesting_never_leaks():
+    """The fixpoint loop must run to convergence, not a fixed pass count:
+    an 11-deep same-tag nest leaked its boilerplate under the old 10-pass
+    cap. Past the (generous) pass cap, the residual sweep must DROP the
+    unconverged subtree wholesale rather than leak its text."""
+    import pandas as pd
+
+    from ocr_spark.html.strip import strip_html
+
+    def nest(depth):
+        return (
+            "<nav>" * depth
+            + "menu junk boilerplate words"
+            + "</nav>" * depth
+            + "<p>kept main content sentence</p>"
+        )
+
+    # 11-deep: converges (beyond the old cap of 10)
+    assert strip_html(pd.Series([nest(11)]))[0] == "kept main content sentence"
+    # 300-deep: beyond _MAX_FIXPOINT_PASSES — residual sweep drops the
+    # whole subtree; the boilerplate text must not appear in the output
+    out = strip_html(pd.Series([nest(300)]))[0]
+    assert out == "kept main content sentence"
+
+
 def test_strip_html_unclosed_container_degrades_like_lazy():
     """Malformed (unbalanced) HTML: an unclosed outer <nav> whose only close
     tag belongs to an inner nav must still drop its boilerplate up to that
