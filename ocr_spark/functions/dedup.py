@@ -178,7 +178,12 @@ def jaccard_pairs(sh: DataFrame, min_common: int = 2, df_max: int | None = None,
     )
 
 
-def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    strict: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
     """Connected components over near-duplicate candidate pairs: the step
     that turns pairwise matches into dedup GROUPS (keep one canonical doc
     per component, drop the rest). Iterative min-label propagation — each
@@ -194,6 +199,12 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     count per iteration, not data. The driver loop is the standard Spark
     shape for iterative graph algorithms (GraphFrames' connectedComponents
     alternates the same two steps internally).
+
+    ``strict=True`` (default) raises on non-convergence so a silently
+    under-merged grouping can never reach the manifest; ``strict=False``
+    returns the partial labels with a warning for callers that prefer
+    degrade-over-abort deep inside a long extract run. Pass a dict as
+    ``stats`` to receive {"iterations", "converged", "last_changed"}.
     """
     edges_fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = edges_fwd.unionByName(
@@ -205,7 +216,10 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    converged = False
+    iterations = 0
+    changed = -1
+    for iterations in range(1, max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -241,13 +255,23 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # label snapshots are live at once (not one per iteration)
         labels = new_labels.drop("_old")
         if changed == 0:
+            converged = True
             break
-    else:
-        raise RuntimeError(
+    if not converged:
+        msg = (
             f"dedup_components did not converge in {max_iters} iterations "
             f"({changed} labels still changing) — the candidate graph is far "
             "larger-diameter than any near-dup clustering should produce; "
             "raise max_iters only after checking the upstream candidate caps"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg + " — returning PARTIAL labels (strict=False)")
+    if stats is not None:
+        stats.update(
+            iterations=iterations, converged=converged, last_changed=changed
         )
     return labels
 

@@ -294,6 +294,52 @@ def test_dedup_components_known_graph(spark):
     }
 
 
+def test_dedup_components_thousand_node_chain_and_star(spark):
+    """Large-component stress: a 1000-hop chain (the worst diameter a
+    candidate graph of that size can have) and a 1000-leaf star must both
+    resolve to single components within the pointer-jumping bound
+    ceil(log2(diameter)) + 2 iterations, proving the O(log d) convergence
+    and bounded label snapshots hold at 10^3-node components."""
+    import math
+
+    from ocr_spark.functions.dedup import dedup_components
+
+    n = 1000
+    chain = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(n - 1)]
+    star = [("s0000", f"s{i:04d}") for i in range(1, n)]
+    df = spark.createDataFrame(chain + star, "doc_a string, doc_b string")
+    stats = {}
+    labels = dedup_components(df, stats=stats).collect()
+    comp = {r.doc_id: r.component for r in labels}
+    assert all(comp[f"c{i:04d}"] == "c0000" for i in range(n))
+    assert all(comp[f"s{i:04d}"] == "s0000" for i in range(n))
+    bound = math.ceil(math.log2(n - 1)) + 2
+    assert stats["converged"] and stats["iterations"] <= bound, stats
+
+
+def test_dedup_components_strict_false_returns_partial(spark):
+    """strict=False degrades to partial labels with a warning instead of
+    aborting the job; stats reports non-convergence."""
+    import warnings
+
+    from ocr_spark.functions.dedup import dedup_components
+
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(30)]
+    df = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        dedup_components(df, max_iters=1)
+    stats = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = dedup_components(df, max_iters=1, strict=False, stats=stats)
+        rows = labels.collect()
+    assert any("PARTIAL" in str(x.message) for x in w)
+    assert not stats["converged"] and stats["last_changed"] > 0
+    assert len(rows) == 31  # all nodes labeled, labels merely not final
+
+
 def test_pdf_text_parser_contract():
     """Kernel-level PDF parse: round trip through the deterministic writer
     (compressed and raw), escape handling, TJ kerning arrays, multi-page
