@@ -77,6 +77,15 @@ def asof_join(
     Output: all left columns plus ``prefix+c`` for each payload col and
     ``prefix+ts`` (the matched right timestamp).
     """
+    reserved = {"_side", "_tie", "_payload", "_m"}
+    for name, cols in (("left", left.columns), ("right", right.columns)):
+        clash = reserved.intersection(cols)
+        if clash:
+            raise ValueError(
+                f"asof_join reserves helper column(s) {sorted(clash)} which "
+                f"already exist on the {name} DataFrame — rename them before "
+                "joining"
+            )
     r = right.select(
         F.col(by),
         F.col(ts_col),

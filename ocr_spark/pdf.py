@@ -10,9 +10,12 @@ emits. Not handled: encrypted documents, CID/Type0 multi-byte encodings,
 object streams (/ObjStm), text drawn as vector outlines or images (that is
 the OCR kernel's job, see ocr_spark.kernel).
 
-Parsing strategy: scan for ``stream``/``endstream`` blobs (xref-free — also
-works on files with broken xref tables, a common real-world defect), inflate
-each candidate, and collect show-text operators per BT/ET block. String
+Parsing strategy: scan for ``stream`` keywords (xref-free — also works on
+files with broken xref tables, a common real-world defect), slice each body
+by the preceding dict's direct ``/Length`` (byte-exact even when the payload
+contains the literal bytes ``endstream``; falls back to an ``endstream``
+scan when /Length is absent, indirect, or wrong), inflate, and collect
+show-text operators per BT/ET block. String
 escapes (\\(, \\), \\\\, \\n, \\t, \\r, \\b, \\f, octal \\ooo) and TJ kerning
 arrays are handled; pieces within one TJ are concatenated, a kerning
 adjustment <= -200/1000 em is rendered as a space (the convention most text
@@ -24,7 +27,11 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_STREAM_HEAD = re.compile(rb"(?<!end)stream\r?\n")
+# direct-integer /Length only; an indirect reference (/Length 5 0 R) falls
+# back to the endstream scan below
+_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_ENDSTREAM_AT = re.compile(rb"\s*endstream")
 _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # ( ... ) with escaped chars, followed by the operator
 _TJ_ONE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')")
@@ -85,12 +92,44 @@ def _block_text(block: bytes) -> str:
     return " ".join(r.decode("latin-1") for r in runs)
 
 
+def _iter_streams(pdf: bytes):
+    """Yield stream bodies in document order. The body is sliced by the
+    preceding dict's direct /Length when one is present and lands on an
+    ``endstream`` keyword — Flate payloads can legally contain the literal
+    bytes ``endstream`` (or ``stream\\n``), so a byte-wise scan alone can
+    truncate a page and desync every later stream. The scan pointer always
+    advances past the full stream just consumed, so payload-internal
+    ``stream`` keywords are never treated as stream starts."""
+    pos = 0
+    n = len(pdf)
+    while pos < n:
+        m = _STREAM_HEAD.search(pdf, pos)
+        if m is None:
+            return
+        body_start = m.end()
+        body_end = None
+        lm = None
+        for lm in _LENGTH.finditer(pdf, max(0, m.start() - 512), m.start()):
+            pass  # keep the last /Length before the stream keyword
+        if lm is not None:
+            end = body_start + int(lm.group(1))
+            # trust /Length only if endstream actually follows the slice
+            # (tolerating the EOL the writer puts before the keyword)
+            if end <= n and _ENDSTREAM_AT.match(pdf, end, min(n, end + 16)):
+                body_end = end
+        if body_end is None:  # no/indirect/wrong /Length: first endstream
+            body_end = pdf.find(b"endstream", body_start)
+            if body_end == -1:
+                return
+        yield pdf[body_start:body_end]
+        pos = body_end + len(b"endstream")
+
+
 def extract_text(pdf: bytes) -> list[str]:
     """Per-content-stream text, in document order; streams with no text
     operators (images, fonts, xref streams) are skipped."""
     texts = []
-    for m in _STREAM.finditer(pdf):
-        data = m.group(1)
+    for data in _iter_streams(pdf):
         try:
             data = zlib.decompress(data)
         except zlib.error:

@@ -387,6 +387,31 @@ def test_pdf_text_parser_contract():
     assert _time.perf_counter() - t0 < 2.0
 
 
+def test_pdf_stream_slicing_by_length():
+    """A stream body can legally contain the literal bytes 'endstream' (or
+    'stream'); the parser must slice by the dict's /Length so the page is
+    neither truncated nor do later streams desync."""
+    from ocr_spark.pdf import extract_text
+
+    s1 = b"BT (before endstream after) Tj ET"
+    s2 = b"BT (stream\n keyword inside) Tj ET"
+    s3 = b"BT (clean third page) Tj ET"
+
+    def obj(n, body):
+        return (
+            f"{n} 0 obj\n<< /Length {len(body)} >>\nstream\n".encode()
+            + body
+            + b"\nendstream\nendobj\n"
+        )
+
+    pdf = b"%PDF-1.4\n" + obj(1, s1) + obj(2, s2) + obj(3, s3) + b"%%EOF\n"
+    assert extract_text(pdf) == [
+        "before endstream after",
+        "stream\n keyword inside",  # raw EOL inside a literal string persists
+        "clean third page",
+    ]
+
+
 def test_pdf_text_spark_operator(spark):
     """The mapInPandas plumbing: per-ref page rows in order, nulls skipped."""
     from ocr_spark.functions.multimodal import pdf_text
