@@ -57,7 +57,7 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
     from ocr_spark.fixtures import write_corpus
-    from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media
+    from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media, read_pdfs
 
     builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -110,6 +110,25 @@ def main() -> None:
     extract_s = time.perf_counter() - t0
     times["extract_spans"] = round(extract_s, 3)
 
+    # three-kind interleave (text + image-OCR + PDF parse): the PDF cost
+    # class has its own decode path, so the headline tracks it separately
+    corpus3 = os.path.join(
+        os.environ.get("OCR_SPARK_FIXTURES", "/tmp/ocr_spark_fixtures"),
+        f"bench3_{EXTRACT_DOCS}x{EXTRACT_PAGES}",
+    )
+    marker3 = os.path.join(corpus3, "_DONE")
+    if not os.path.exists(marker3):
+        write_corpus(corpus3, n_docs=EXTRACT_DOCS, n_pages=EXTRACT_PAGES, pdf_p=0.25)
+        with open(marker3, "w") as f:
+            f.write("bench corpus3\n")
+    docs3 = read_documents(spark, corpus3)
+    media3 = read_media(spark, corpus3)
+    pdfs3 = read_pdfs(spark, corpus3)
+    t0 = time.perf_counter()
+    _force(extract_spans(docs3, media3, character_spacing=8.0, pdfs=pdfs3))
+    extract3_s = time.perf_counter() - t0
+    times["extract_interleaved3"] = round(extract3_s, 3)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -121,6 +140,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "extract_docs": EXTRACT_DOCS,
                 "extract_docs_per_sec": round(EXTRACT_DOCS / extract_s, 2),
+                "extract3_docs_per_sec": round(EXTRACT_DOCS / extract3_s, 2),
             }
         )
     )
