@@ -400,6 +400,59 @@ def _q_dedup_survivors(spark, sf_dir):
     return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
 
 
+def _q_top_parts_per_type(spark, sf_dir):
+    """Partitioned top-k (rank window with a partition key — distributed,
+    unlike a global rank): top-3 revenue parts per part type."""
+    from ocr_spark.functions.relational import top_parts_per_group
+
+    return top_parts_per_group(
+        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "part")
+    )
+
+
+def _q_events_range(spark, sf_dir):
+    """Range-join category: each purchase counts the user's clicks in the
+    preceding 30 minutes. Spark composition: time-bucketed equi-join (each
+    left row probes two buckets) + exact residual filter — no
+    broadcast-nested-loop; oracle: plain inequality join."""
+    from ocr_spark.functions.events import range_count_preceding
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = range_count_preceding(purchases, clicks, out_col="n_prior_clicks")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "n_prior_clicks",
+    )
+
+
+def _q_emb_dedup_survivors(spark, sf_dir):
+    """Embedding-side corpus dedup materialized (the similarity-family
+    mirror of dedup_survivors): banded sign-LSH candidates + exact cosine
+    recheck -> connected components -> keep one canonical vector per
+    near-dup group, pass every unpaired vector through. All equi-joins;
+    cost = sum of squared band-bucket sizes, never n^2."""
+    from ocr_spark.functions.dedup import dedup_components
+    from ocr_spark.functions.similarity import near_dup_pairs_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs_lsh(emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    dropped = (
+        dedup_components(pairs)
+        .where(F.col("doc_id") != F.col("component"))
+        .withColumnRenamed("doc_id", "vec_id")
+    )
+    return emb.select("vec_id").join(dropped, "vec_id", "left_anti")
+
+
 def _q_dedup_groups(spark, sf_dir):
     """Near-dup GROUPS: connected components over the (capped) LSH candidate
     graph — the step that picks one canonical doc per duplicate cluster.
@@ -424,6 +477,16 @@ def _q_simhash(spark, sf_dir):
     from ocr_spark.functions.dedup import simhash_bits
 
     return simhash_bits(_docs(spark, sf_dir))
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole banding (4x16-bit band keys) gives
+    EXACT recall at hamming <= 3 from a plain (band, band_key) equi-join;
+    exact bit_count(xor) recheck. Hot band buckets (the all-zero signature
+    of token-free docs) capped at _DF_MAX."""
+    from ocr_spark.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), bucket_max=_DF_MAX)
 
 
 def _q_forecast_revenue(spark, sf_dir):
@@ -867,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_click": _q_events_asof,
         "ngram_jaccard": _q_jaccard,
         "simhash_bits": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "emb_dedup_survivors": _q_emb_dedup_survivors,
+        "events_range_clicks": _q_events_range,
+        "top_parts_per_type": _q_top_parts_per_type,
         "q6_forecast_revenue": _q_forecast_revenue,
         "q4_order_priority": _q_order_priority,
         "q17_small_qty_revenue": _q_small_qty_revenue,
@@ -1178,6 +1245,30 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
+        "top_parts_per_type": f"""
+            WITH agg AS (
+                SELECT p.p_type, l.l_partkey AS p_partkey,
+                       CAST(SUM({rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p_type, p_partkey, revenue,
+                   (ROW_NUMBER() OVER (PARTITION BY p_type
+                                       ORDER BY revenue DESC, p_partkey))::BIGINT AS rnk
+            FROM agg QUALIFY rnk <= 3
+        """,
+        "events_range_clicks": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                   COUNT(c.ts)::BIGINT AS n_prior_clicks
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id
+             AND epoch_us(c.ts) > epoch_us(p.ts) - 1800000000
+             AND epoch_us(c.ts) <= epoch_us(p.ts)
+            GROUP BY 1, 2, 3
+        """,
         "ngram_jaccard": f"""
             WITH sh0 AS ({_SQL_SHINGLES}),
             sh AS ({_SQL_SHINGLES_CAPPED.format(df_max=_DF_MAX)}),
@@ -1210,6 +1301,53 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN SUM(dt.cnt * bits.contrib) > 0 THEN 1 ELSE 0 END)::BIGINT AS bit
             FROM dt JOIN bits ON dt.token = bits.token
             GROUP BY dt.doc_id, bits.bit_idx
+        """,
+        # same bit table as simhash_bits, folded to a signed 64-bit signature
+        # (bit 63 = the sign bit, added as min-long; DuckDB's 1<<63 errors),
+        # then 4x16-bit pigeonhole bands -> capped equi-join -> exact hamming
+        "simhash_near_dups": f"""
+            WITH dt AS (
+                SELECT doc_id, token, COUNT(*)::BIGINT AS cnt
+                FROM (SELECT doc_id, UNNEST({_SQL_TOKS}) AS token FROM documents)
+                GROUP BY 1, 2
+            ), bits AS (
+                SELECT token, b::BIGINT AS bit_idx,
+                       2 * (((strpos('0123456789abcdef',
+                                     substr(md5(token), (b // 4) + 1, 1)) - 1)
+                             >> (3 - (b % 4))) % 2) - 1 AS contrib
+                FROM (SELECT token, UNNEST(generate_series(0, 63)) AS b
+                      FROM (SELECT DISTINCT token FROM dt))
+            ), db AS (
+                SELECT dt.doc_id, bits.bit_idx,
+                       (CASE WHEN SUM(dt.cnt * bits.contrib) > 0 THEN 1 ELSE 0 END)::BIGINT AS bit
+                FROM dt JOIN bits ON dt.token = bits.token
+                GROUP BY dt.doc_id, bits.bit_idx
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN bit = 0 THEN 0
+                                     WHEN bit_idx = 63 THEN (-9223372036854775807 - 1)
+                                     ELSE (1::BIGINT << bit_idx) END) AS BIGINT) AS simhash
+                FROM db GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, simhash, b AS band,
+                       ((simhash >> (b * 16)) & 65535) AS band_key
+                FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
+            ), capped AS (
+                SELECT doc_id, simhash, band, band_key FROM (
+                    SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS _n
+                    FROM bands
+                ) WHERE _n <= {_DF_MAX}
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                       a.simhash AS sig_a, b2.simhash AS sig_b
+                FROM capped a JOIN capped b2
+                  ON a.band = b2.band AND a.band_key = b2.band_key
+                 AND a.doc_id < b2.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+            FROM cand
+            WHERE bit_count(xor(sig_a, sig_b)) <= 3
         """,
         "q6_forecast_revenue": f"""
             SELECT CAST(SUM(CAST(l_extendedprice AS {dec}) * CAST(l_discount AS {dec})) AS DOUBLE) AS revenue,
@@ -1381,6 +1519,49 @@ def oracle_sql() -> dict[str, str]:
                    round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 4) AS sim_r4
             FROM cand c JOIN n a ON a.vec_id = c.vec_a JOIN n b ON b.vec_id = c.vec_b
             WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) > 0.3
+        """,
+        # banded candidates + exact cosine recheck (same construction as
+        # emb_near_dups_lsh), then recursive-CTE connected components and
+        # an anti-join keeping one canonical vector per near-dup group
+        "emb_dedup_survivors": """
+            WITH RECURSIVE
+            n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS vec,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+                FROM embeddings
+            ),
+            bk AS (
+                SELECT vec_id, b AS band,
+                       CAST(list_sum(list_transform(generate_series(0, 7),
+                            d -> CASE WHEN embedding[b * 8 + d + 1] > 0
+                                      THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+                FROM embeddings, UNNEST(generate_series(0, 3)) AS t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS doc_a, b2.vec_id AS doc_b
+                FROM bk a JOIN bk b2
+                  ON a.band = b2.band AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            ),
+            pairs AS (
+                SELECT c.doc_a, c.doc_b
+                FROM cand c JOIN n a ON a.vec_id = c.doc_a JOIN n b ON b.vec_id = c.doc_b
+                WHERE list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm) > 0.3
+            ),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, label) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ),
+            dropped AS (
+                SELECT node FROM reach GROUP BY node HAVING node != MIN(label)
+            )
+            SELECT e.vec_id FROM embeddings e ANTI JOIN dropped d ON e.vec_id = d.node
         """,
         "emb_bucket_hist": """
             SELECT bucket, COUNT(*)::BIGINT AS n_vecs FROM (

@@ -315,6 +315,87 @@ def simhash_bits(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def simhash_signature(bits: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fold the long-form (doc_id, bit_idx, bit) table from
+    :func:`simhash_bits` into one signed 64-bit signature per doc.
+    bit_or of disjoint shifted bits — bit 63 lands in the sign bit, exact
+    in two's complement, and bit_or cannot overflow the way SUM of 2^63
+    would. Output: (doc_id, simhash BIGINT)."""
+    return bits.groupBy(id_col).agg(
+        F.expr("bit_or(shiftleft(bit, CAST(bit_idx AS INT)))").alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bucket_max: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs with EXACT recall at distance
+    ``max_hamming`` via pigeonhole banding: the 64-bit signature splits
+    into ``n_bands`` contiguous (64/n_bands)-bit band keys; any pair
+    within hamming distance < n_bands must agree exactly on at least one
+    band, so a (band, band_key) equi-join finds every such pair — no
+    cartesian product, cost = sum of squared band-bucket sizes. Each
+    candidate is then re-checked with the exact
+    ``bit_count(sig_a ^ sig_b)``. Requires ``max_hamming < n_bands`` for
+    the guarantee (asserted).
+
+    ``bucket_max`` caps degenerate band buckets (e.g. the all-zero
+    signature shared by every token-free doc) with the same count-window
+    form as cap_hot_buckets — it rides the join's own exchange+sort.
+    Output: (doc_a, doc_b, hamming), distinct pairs.
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sig = simhash_signature(simhash_bits(df, text_col, id_col), id_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                # mask AFTER the shift: >> is arithmetic, the mask clears
+                # the sign extension from the top band
+                f"b -> shiftright(simhash, b * {width}) & {mask}L)"
+            )
+        ).alias("band", "band_key"),
+    )
+    if bucket_max is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where(F.col("_n") <= bucket_max)
+            .drop("_n")
+        )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band", "band_key",
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band", "band_key",
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. local algorithm):

@@ -112,6 +112,66 @@ def asof_join(
     return out
 
 
+def range_count_preceding(
+    left: DataFrame,
+    right: DataFrame,
+    window_us: int = SESSION_GAP_US,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    out_col: str = "n_prior",
+) -> DataFrame:
+    """Range join, bucketed: count right rows with timestamp in
+    ``(left.ts - window_us, left.ts]`` within the same ``by`` group, for
+    every left row (zero-match rows kept with count 0).
+
+    Spark has no native range join, and the naive theta-join
+    (``r.ts BETWEEN l.ts - W AND l.ts``) plans as a per-group
+    broadcast-nested-loop. The scale-right composition buckets right rows
+    by ``floor(ts / W)`` and has each left row probe exactly TWO buckets
+    (its own and the previous — any right row in the window must fall in
+    one of them), turning the range condition into a plain equi-join on
+    (by, bucket) plus an exact residual filter. Cost is one shuffle per
+    side on a uniform composite key; no bucket sees more than ~2 windows
+    of one group's rows, so group skew is already diluted W-fold.
+
+    Left rows must be unique on their full column set (the count groups by
+    that identity).
+    """
+    l_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    r_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lb = left.select(
+        *left.columns,
+        l_us.alias("_l_us"),
+        F.explode(
+            F.array(
+                F.floor(l_us / window_us) - 1, F.floor(l_us / window_us)
+            )
+        ).alias("_bucket"),
+    )
+    rb = right.select(
+        F.col(by).alias("_r_by"),
+        r_us.alias("_r_us"),
+        F.floor(r_us / window_us).alias("_bucket"),
+    )
+    in_window = (
+        (F.col("_r_us") > F.col("_l_us") - F.lit(window_us))
+        & (F.col("_r_us") <= F.col("_l_us"))
+    )
+    # LEFT outer keeps zero-match rows (their probe rows survive with nulls);
+    # each right match lands in exactly one probed bucket, so no double count
+    return (
+        lb.join(
+            rb,
+            (F.col(by) == F.col("_r_by")) & (lb["_bucket"] == rb["_bucket"]),
+            "left",
+        )
+        .groupBy(*[lb[c] for c in left.columns])
+        .agg(
+            F.count(F.when(in_window, F.lit(1))).cast("long").alias(out_col)
+        )
+    )
+
+
 def top_users(df: DataFrame, k: int = 5) -> DataFrame:
     """Users ranked by event count, ties broken by user_id.
 

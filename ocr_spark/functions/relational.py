@@ -103,6 +103,37 @@ def segment_totals(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def top_parts_per_group(
+    lineitem: DataFrame, part: DataFrame, k: int = 3, group_col: str = "p_type"
+) -> DataFrame:
+    """Partitioned top-k: the k highest-revenue parts within each part
+    group. The rank window partitions on ``group_col``, so ranking runs
+    distributed — every group sorts inside its own partition of the window
+    exchange; contrast events.top_users, where a GLOBAL rank must instead
+    be expressed as TakeOrdered to avoid a single-partition sort. Ties
+    break on p_partkey for determinism."""
+    from pyspark.sql import Window
+
+    p = part.select("p_partkey", group_col)
+    li = lineitem.select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast(_DEC)
+         * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))).alias("rev"),
+    )
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(group_col, "p_partkey")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("revenue"), F.asc("p_partkey")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
 def brand_volume(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """lineitem x part: quantity and revenue per brand."""
     p = part.select("p_partkey", "p_brand")

@@ -6,7 +6,7 @@ import pytest
 from conftest import REPO  # noqa: F401
 
 pyspark = pytest.importorskip("pyspark")
-from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
@@ -234,6 +234,89 @@ def test_asof_join_matches_bruteforce_on_random_inputs(spark):
             cands = [(rts, rid) for rid, ru, rts in right if ru == u and rts <= ts]
             expect = max(cands)[1] if cands else None
             assert got[eid] == expect, (trial, eid, got[eid], expect)
+
+
+def test_range_count_preceding_matches_bruteforce(spark):
+    """Bucketed range join vs an O(n^2) pandas brute force on randomized
+    per-user event times (including boundary hits at exactly t-W and t),
+    and the plan must stay an equi-join — no broadcast-nested-loop."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_spark.functions.events import range_count_preceding
+
+    rng = np.random.default_rng(11)
+    W = 1_000_000  # 1s window in us
+    rows_l, rows_r = [], []
+    eid = 0
+    for u in range(6):
+        for _ in range(rng.integers(5, 15)):
+            eid += 1
+            # multiples of W/4 force exact-boundary collisions
+            rows_l.append((eid, f"u{u}", int(rng.integers(0, 40) * W // 4)))
+        for _ in range(rng.integers(10, 30)):
+            rows_r.append((f"u{u}", int(rng.integers(0, 40) * W // 4)))
+    left = spark.createDataFrame(
+        [(e_, u, t) for e_, u, t in rows_l], "event_id long, user_id string, us long"
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    right = spark.createDataFrame(
+        rows_r, "user_id string, us long"
+    ).select("user_id", F.timestamp_micros("us").alias("ts"))
+    out = range_count_preceding(left, right, window_us=W, out_col="n")
+    got = {r.event_id: r.n for r in out.collect()}
+    expect = {
+        e_: sum(1 for (u2, t2) in rows_r if u2 == u and t - W < t2 <= t)
+        for e_, u, t in rows_l
+    }
+    assert got == expect
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_simhash_near_dups_exact_recall_vs_bruteforce(spark):
+    """Pigeonhole banding is EXACT for hamming <= n_bands-1: on the
+    sf0.001 corpus the banded equi-join (uncapped) must produce exactly
+    the same pair set as brute-force all-pairs hamming over the folded
+    signatures; identical docs must pair at hamming 0."""
+    from ocr_spark.functions.dedup import (
+        simhash_bits,
+        simhash_near_dups,
+        simhash_signature,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash_signature(simhash_bits(docs)).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dups(docs).collect()
+    }
+    assert got == brute
+    # a planted exact duplicate (doc_id -1, copying doc 0's text) pairs at 0
+    twin = docs.select("doc_id", "text").orderBy("doc_id").limit(1).collect()[0]
+    planted = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(-1, twin.text)], "doc_id long, text string")
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dups(planted).collect()
+    }
+    assert pairs[(-1, twin.doc_id)] == 0
 
 
 def test_dedup_components_matches_union_find_on_random_graphs(spark):

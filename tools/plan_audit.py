@@ -20,7 +20,9 @@ AUDIT = ["q1_pricing_summary","q3_order_revenue","q5_nation_volume","brand_volum
          "winnow_fingerprints","q1_rollup","nations_except",
          "q4_order_priority","q17_small_qty_revenue","q1_cube",
          "events_asof_click","doc_length_quantiles",
-         "events_top_users","token_histogram","lsh_jaccard_est"]
+         "events_top_users","token_histogram","lsh_jaccard_est",
+         "simhash_near_dups","emb_dedup_survivors","events_range_clicks",
+         "top_parts_per_type"]
 q = e.queries()
 for name in AUDIT:
     df = q[name](spark, SF)
