@@ -102,16 +102,21 @@ def cap_shingle_df(sh: DataFrame, df_max: int, id_col: str = "doc_id") -> DataFr
     )
 
 
-def cap_hot_buckets(sig: DataFrame, bucket_max: int) -> DataFrame:
-    """Drop degenerate (band, minhash) buckets holding more than
-    ``bucket_max`` docs before any bucket self-join (a bucket of B docs
-    emits B^2/2 pairs; such buckets only arise from stop-phrase shingles,
-    which carry no near-dup signal). Count window over the bucket key —
-    rides the exchange+sort the downstream self-join already pays (the
-    measured-fast cap form, see cap_shingle_df)."""
+def cap_hot_buckets(
+    sig: DataFrame,
+    bucket_max: int,
+    keys: tuple[str, ...] = ("band", "minhash"),
+) -> DataFrame:
+    """Drop degenerate ``keys`` buckets holding more than ``bucket_max``
+    docs before any bucket self-join (a bucket of B docs emits B^2/2
+    pairs; such buckets only arise from stop-phrase shingles / all-zero
+    signatures, which carry no near-dup signal). Count window over the
+    bucket key — rides the exchange+sort the downstream self-join already
+    pays (the measured-fast cap form, see cap_shingle_df). The single
+    home of this cap shape: every bucket-join caller uses it."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "minhash")
+    w = Window.partitionBy(*keys)
     return (
         sig.withColumn("_n", F.count(F.lit(1)).over(w))
         .where(F.col("_n") <= bucket_max)
@@ -366,14 +371,7 @@ def simhash_near_dups(
         ).alias("band", "band_key"),
     )
     if bucket_max is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "band_key")
-        bands = (
-            bands.withColumn("_n", F.count(F.lit(1)).over(w))
-            .where(F.col("_n") <= bucket_max)
-            .drop("_n")
-        )
+        bands = cap_hot_buckets(bands, bucket_max, keys=("band", "band_key"))
     a = bands.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"),
         "band", "band_key",

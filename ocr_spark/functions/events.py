@@ -137,6 +137,15 @@ def range_count_preceding(
     Left rows must be unique on their full column set (the count groups by
     that identity).
     """
+    reserved = {"_l_us", "_bucket", "_r_by", "_r_us"}
+    for name, cols in (("left", left.columns), ("right", right.columns)):
+        clash = reserved.intersection(cols)
+        if clash:
+            raise ValueError(
+                f"range_count_preceding reserves helper column(s) "
+                f"{sorted(clash)} which already exist on the {name} "
+                "DataFrame — rename them before joining"
+            )
     l_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     r_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     lb = left.select(

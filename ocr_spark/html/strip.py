@@ -90,7 +90,18 @@ def _fixpoint(s: pd.Series, pattern: re.Pattern) -> pd.Series:
         if s2.equals(s):
             return s
         s = s2
-    return s.str.replace(_RESIDUAL_CONTAINER, " ", regex=True)
+    # the sweep must hit ONLY the rows that are still shrinking: a row's
+    # output must never depend on which other rows share its Arrow batch
+    # (span-sequence equality is per document), and converged rows with a
+    # dangling opener are legal output of the paired pattern
+    s2 = s.str.replace(pattern, " ", regex=True)
+    unconverged = s2 != s
+    s = s2
+    if unconverged.any():
+        s.loc[unconverged] = s.loc[unconverged].str.replace(
+            _RESIDUAL_CONTAINER, " ", regex=True
+        )
+    return s
 
 
 def _drop_containers(s: pd.Series) -> pd.Series:

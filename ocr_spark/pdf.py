@@ -29,8 +29,10 @@ import zlib
 
 _STREAM_HEAD = re.compile(rb"(?<!end)stream\r?\n")
 # direct-integer /Length only; an indirect reference (/Length 5 0 R) falls
-# back to the endstream scan below
-_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# back to the endstream scan below. (?!\d) anchors the digit run so
+# backtracking can't shorten '1234' to '123' to sneak past the
+# indirect-ref lookahead
+_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _ENDSTREAM_AT = re.compile(rb"\s*endstream")
 _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # ( ... ) with escaped chars, followed by the operator

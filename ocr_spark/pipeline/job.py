@@ -117,7 +117,13 @@ def extract_spans(
         # Width probe via inputFiles() — a pure metadata call; df.rdd here
         # would force a whole plan-to-RDD translation per extract call. A
         # few-files-but-splittable scan may repartition redundantly (one
-        # cheap shuffle); a many-files scan correctly skips it.
+        # cheap shuffle); a many-files scan correctly skips it. Non-file
+        # inputs (in-memory frames, non-file streaming micro-batches)
+        # report zero files and therefore ALWAYS repartition: deliberate —
+        # their width is unknowable without an RDD probe, a redundant
+        # shuffle of doc rows is cheap, and an undetected narrow input
+        # serializes the OCR stage onto one core (the measured disaster
+        # this probe exists to prevent).
         if len(docs.inputFiles()) < partitions // 2:
             docs = docs.repartition(partitions, "doc_id")
     exploded = docs.select(

@@ -495,6 +495,19 @@ def test_pdf_stream_slicing_by_length():
     ]
 
 
+def test_pdf_length_regex_rejects_indirect_refs():
+    """Multi-digit indirect refs must not backtrack into a bogus shorter
+    direct match ('/Length 1234 0 R' matching as length 123)."""
+    from ocr_spark.pdf import _LENGTH
+
+    assert _LENGTH.search(b"<< /Length 15 0 R >>") is None
+    assert _LENGTH.search(b"<< /Length 1234 0 R >>") is None
+    m = _LENGTH.search(b"<< /Length 1234 >>")
+    assert m is not None and m.group(1) == b"1234"
+    m = _LENGTH.search(b"<< /Filter /FlateDecode /Length 52 >>")
+    assert m is not None and m.group(1) == b"52"
+
+
 def test_pdf_text_spark_operator(spark):
     """The mapInPandas plumbing: per-ref page rows in order, nulls skipped."""
     from ocr_spark.functions.multimodal import pdf_text

@@ -151,6 +151,30 @@ def test_strip_html_deep_nesting_never_leaks():
     assert out == "kept main content sentence"
 
 
+def test_strip_html_output_independent_of_batch_neighbors():
+    """Span-sequence equality is per document: a doc's stripped output must
+    not depend on which other rows share its Arrow batch. A converged row
+    with a dangling container opener must NOT be hit by the residual sweep
+    that an unconverged co-batched row (300-deep nest exhausting the pass
+    cap) triggers."""
+    import pandas as pd
+
+    from ocr_spark.html.strip import strip_html
+
+    victim = (
+        "<p>intro words here</p> </nav> <p><nav> trailing real content "
+        "sentence with many words kept</p>"
+    )
+    deep = (
+        "<nav>" * 300 + "menu junk boilerplate words" + "</nav>" * 300
+        + "<p>deep doc content sentence kept</p>"
+    )
+    alone = strip_html(pd.Series([victim]))[0]
+    together = strip_html(pd.Series([victim, deep]))
+    assert together[0] == alone
+    assert together[1] == "deep doc content sentence kept"
+
+
 def test_strip_html_unclosed_container_degrades_like_lazy():
     """Malformed (unbalanced) HTML: an unclosed outer <nav> whose only close
     tag belongs to an inner nav must still drop its boilerplate up to that
