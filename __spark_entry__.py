@@ -400,6 +400,28 @@ def _q_dedup_survivors(spark, sf_dir):
     return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
 
 
+def _q_doc_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (hash-range split): per
+    (lang, split) document counts. Pure per-row md5 expression — stable
+    under corpus growth, no RNG, no shuffle beyond the final count."""
+    from ocr_spark.functions.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    return (
+        hash_split(docs)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def _q_doc_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample by hash threshold — a pure filter
+    (no shuffle, no RNG state); membership re-derivable from doc_id."""
+    from ocr_spark.functions.sampling import sample_by_hash
+
+    return sample_by_hash(_docs(spark, sf_dir), 0.1).select("doc_id", "lang")
+
+
 def _q_top_parts_per_type(spark, sf_dir):
     """Partitioned top-k (rank window with a partition key — distributed,
     unlike a global rank): top-3 revenue parts per part type."""
@@ -934,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_survivors": _q_emb_dedup_survivors,
         "events_range_clicks": _q_events_range,
         "top_parts_per_type": _q_top_parts_per_type,
+        "doc_split_counts": _q_doc_split_counts,
+        "doc_sample_10pct": _q_doc_sample,
         "q6_forecast_revenue": _q_forecast_revenue,
         "q4_order_priority": _q_order_priority,
         "q17_small_qty_revenue": _q_small_qty_revenue,
@@ -1023,6 +1047,7 @@ def _lang_ngram_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     dec = "DECIMAL(18,2)"
     rev = f"CAST(l_extendedprice AS {dec}) * (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))"
+    from ocr_spark.functions.sampling import _hex_threshold as _ht
     stop_en = "['the','a','and','of','to','is']"
     markers = {
         "en": stop_en,
@@ -1244,6 +1269,24 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(c.ts) AS click_ts_us, c.click_event_id
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # thresholds computed by the SAME helper the engine uses, compared
+        # lexicographically against the md5 hex prefix (identical ordering
+        # in both engines — no integer parsing)
+        "doc_split_counts": f"""
+            SELECT lang,
+                   CASE WHEN substr(md5('split-v1|' || doc_id::VARCHAR), 1, 8)
+                             < '{_ht(0.9)}' THEN 'train'
+                        WHEN substr(md5('split-v1|' || doc_id::VARCHAR), 1, 8)
+                             < '{_ht(0.95)}' THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*)::BIGINT AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "doc_sample_10pct": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('sample-v1|' || doc_id::VARCHAR), 1, 8)
+                  < '{_ht(0.1)}'
         """,
         "top_parts_per_type": f"""
             WITH agg AS (

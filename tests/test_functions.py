@@ -236,6 +236,29 @@ def test_asof_join_matches_bruteforce_on_random_inputs(spark):
             assert got[eid] == expect, (trial, eid, got[eid], expect)
 
 
+def test_hash_split_stable_and_proportioned(spark):
+    """Split assignment is a function of (salt, doc_id) only: shrinking the
+    corpus never moves a surviving document between splits; fractions land
+    near the weights; sample_by_hash(f) is the prefix of hash order (a
+    0.05 sample is a subset of the 0.1 sample with the same salt)."""
+    from ocr_spark.functions.sampling import hash_split, sample_by_hash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(docs.where(F.col("doc_id") < 250)).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    n = len(full)
+    frac_train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.85 <= frac_train <= 0.95
+    s10 = {r.doc_id for r in sample_by_hash(docs, 0.10).collect()}
+    s05 = {r.doc_id for r in sample_by_hash(docs, 0.05).collect()}
+    assert s05 <= s10
+    assert 0.05 <= len(s10) / n <= 0.16
+
+
 def test_range_count_preceding_matches_bruteforce(spark):
     """Bucketed range join vs an O(n^2) pandas brute force on randomized
     per-user event times (including boundary hits at exactly t-W and t),
