@@ -114,6 +114,23 @@ def stream_dedup_exact(
     )
 
 
+def stream_enrich(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    streaming row. Stateless on the streaming side (no watermark, no state
+    store — each micro-batch joins against the static frame's CURRENT
+    snapshot), so it composes freely before any stateful stage. The static
+    side is broadcast when it fits (Catalyst sizes it per micro-batch);
+    at cluster scale the dim is typically a compact keyed table refreshed
+    by re-reading the source. The standard shape for user/geo/account
+    lookups in front of a streaming aggregation."""
+    return events_stream.join(F.broadcast(dim), on, how)
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )

@@ -127,6 +127,50 @@ def test_stream_event_rollup_matches_batch(spark, tmp_path):
     assert len(got_rows) >= len(batch_rows) - 5  # only trailing windows open
 
 
+def test_stream_enrich_matches_batch_join(spark, tmp_path):
+    """Stream-static enrichment: the streamed join output must equal the
+    batch join row-for-row (stateless per micro-batch, two input files so
+    at least two batches run against the same static snapshot)."""
+    from ocr_spark.streaming.job import stream_enrich
+
+    stream_dir = str(tmp_path / "enrich_in")
+    os.makedirs(stream_dir)
+    ev = spark.read.parquet(SF_EVENTS)
+    # split the events into two files -> two micro-batches (maxFilesPerTrigger)
+    a, b = ev.where(F.col("event_id") % 2 == 0), ev.where(F.col("event_id") % 2 == 1)
+    a.write.parquet(os.path.join(stream_dir, "p0"))
+    b.write.parquet(os.path.join(stream_dir, "p1"))
+
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("user_total"))
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    dim_static = spark.read.parquet(dim_path)
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/*")
+    )
+    out = stream_enrich(stream, dim_static).select("event_id", "user_id", "user_total")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from enrich_sink").collect()}
+    batch = {
+        tuple(r)
+        for r in ev.join(dim_static, "user_id", "left")
+        .select("event_id", "user_id", "user_total")
+        .collect()
+    }
+    assert got == batch
+
+
 def test_stream_dedup_exact_across_batches(spark, tmp_path):
     """A replayed/duplicated event in a later micro-batch must be dropped:
     feed the same file twice (distinct mtimes -> two batches) and assert the
