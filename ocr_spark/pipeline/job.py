@@ -83,6 +83,49 @@ def read_pdfs(spark: SparkSession, input_dir: str) -> DataFrame | None:
     return spark.read.schema("media_ref string, pdf binary").parquet(path)
 
 
+def _size_suffix_bytes(v: str) -> int:
+    v = v.strip().lower().rstrip("b")
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suf):
+            v, mult = v[:-1], m
+            break
+    return int(float(v) * mult)
+
+
+def _scan_width_estimate(docs: DataFrame, need: int) -> int:
+    """Upper-bounded estimate of the file scan's task width, from metadata
+    only (no plan-to-RDD translation): sum over input files of
+    ceil(size / maxPartitionBytes), stopping early once ``need`` is
+    reached. A single large splittable parquet file correctly reports its
+    split count — counting FILES here once cost the 8-core scaling leg
+    ~25% by re-shuffling an already-30-way scan (round-3 regression).
+    Returns 0 for non-file-backed inputs (unknown width)."""
+    files = docs.inputFiles()
+    if not files:
+        return 0
+    if len(files) >= need:
+        return len(files)
+    spark = docs.sparkSession
+    try:
+        mpb = _size_suffix_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        width = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(hconf)
+            sz = fs.getFileStatus(p).getLen()
+            width += max(1, -(-sz // mpb))
+            if width >= need:
+                return width
+        return width
+    except Exception:
+        return len(files)
+
+
 def extract_spans(
     docs: DataFrame,
     media: DataFrame,
@@ -114,17 +157,17 @@ def extract_spans(
         # stripper and the join probe all run at full width. At real scale
         # the input is thousands of files and the scan is already wide, so
         # only repartition when the scan is narrower than the target.
-        # Width probe via inputFiles() — a pure metadata call; df.rdd here
-        # would force a whole plan-to-RDD translation per extract call. A
-        # few-files-but-splittable scan may repartition redundantly (one
-        # cheap shuffle); a many-files scan correctly skips it. Non-file
-        # inputs (in-memory frames, non-file streaming micro-batches)
-        # report zero files and therefore ALWAYS repartition: deliberate —
-        # their width is unknowable without an RDD probe, a redundant
-        # shuffle of doc rows is cheap, and an undetected narrow input
-        # serializes the OCR stage onto one core (the measured disaster
-        # this probe exists to prevent).
-        if len(docs.inputFiles()) < partitions // 2:
+        # Width probe via file metadata (sizes vs maxPartitionBytes) — no
+        # plan-to-RDD translation per extract call, and splittable
+        # single-file scans report their true split width instead of "1"
+        # (counting files alone re-shuffled a 30-way scan and cost the
+        # 8-core scaling leg ~25%). Non-file inputs (in-memory frames,
+        # non-file streaming micro-batches) report width 0 and therefore
+        # ALWAYS repartition: deliberate — their width is unknowable
+        # without an RDD probe, a redundant shuffle of doc rows is cheap,
+        # and an undetected narrow input serializes the OCR stage onto one
+        # core (the measured disaster this probe exists to prevent).
+        if _scan_width_estimate(docs, partitions // 2) < partitions // 2:
             docs = docs.repartition(partitions, "doc_id")
     exploded = docs.select(
         "doc_id", F.posexplode("spans").alias("ord", "span")
