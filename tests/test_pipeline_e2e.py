@@ -46,6 +46,40 @@ def _spans_set(df):
     }
 
 
+def test_scan_width_probe_skips_wide_splittable_scans(spark, corpus):
+    """Regression pin for the round-3 scaling bug: a SINGLE parquet file
+    whose size spans many maxPartitionBytes splits must be treated as a
+    wide scan (no pre-UDF doc_id repartition — that redundant shuffle cost
+    the 32-core scaling leg ~half its throughput), while a genuinely
+    narrow scan must still repartition."""
+    import io
+    from contextlib import redirect_stdout
+
+    from ocr_spark.pipeline.job import extract_spans, read_documents, read_media
+
+    docs = read_documents(spark, corpus)
+    media = read_media(spark, corpus)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # tiny split size -> the one corpus file counts as many splits
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        wide = plan_of(extract_spans(docs, media, partitions=4))
+        # huge split size -> the same file is genuinely a 1-wide scan
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
+        narrow = plan_of(extract_spans(docs, media, partitions=4))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert "hashpartitioning(doc_id" not in wide
+    assert "hashpartitioning(doc_id" in narrow
+
+
 def test_extraction_span_equality(spark, corpus, tmp_path):
     from ocr_spark.pipeline.job import extract, read_output
 
