@@ -21,15 +21,23 @@ _SPACE = 16 ** 8  # 8 hex chars
 
 
 def _hex_threshold(fraction: float) -> str:
-    """Largest 8-hex-digit string t such that P(bucket < t) == fraction
-    (up to 1/16^8). Embedded as a literal in BOTH engine and oracle."""
-    return format(min(_SPACE, max(0, int(fraction * _SPACE))), "08x")
+    """String t such that P(bucket < t) == fraction (up to 1/16^8),
+    compared lexicographically. Embedded as a literal in BOTH engine and
+    oracle. fraction >= 1 returns 'g', which every 8-hex-char bucket sorts
+    below ('g' > 'f' in the first character) — formatting 16^8 itself would
+    yield a 9-char string that 'ffffffff' does NOT sort below."""
+    if fraction >= 1:
+        return "g"
+    return format(max(0, int(fraction * _SPACE)), "08x")
 
 
 def hash_bucket(id_col: Column, salt: str) -> Column:
-    """First 8 hex chars of md5(salt|id) — the uniform sampling key."""
+    """First 8 hex chars of md5(salt|id) — the uniform sampling key.
+    concat (not concat_ws) so a NULL id propagates to a NULL bucket,
+    matching the oracle's `'salt|' || id` exactly: NULL-id rows fall out
+    of samples and land in the final split, identically in both engines."""
     return F.substring(
-        F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string"))), 1, 8
+        F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8
     )
 
 

@@ -69,15 +69,21 @@ def read_media(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(Path, FileSystem) for ``path`` via the Hadoop FS API — the one home
+    for the jvm Path/getFileSystem incantation (works for any scheme)."""
+    hpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return hpath, fs
+
+
 def read_pdfs(spark: SparkSession, input_dir: str) -> DataFrame | None:
     """Optional third-modality table (three-kind corpora): None when the
     corpus has no pdfs.parquet, so plain text+media corpora plan exactly as
     before — but a corpus that DOES ship pdfs gets its pdf spans routed
     instead of silently dropped."""
     path = f"{input_dir}/pdfs.parquet"
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    hpath, fs = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return None
     return spark.read.schema("media_ref string, pdf binary").parquet(path)
@@ -111,12 +117,16 @@ def _scan_width_estimate(docs: DataFrame, need: int) -> int:
         mpb = _size_suffix_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
         width = 0
         for f in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            fs = p.getFileSystem(hconf)
+            # size-based splitting applies only to splittable formats; a
+            # gzipped json/csv file is ONE task no matter its size, and
+            # overcounting it would skip the repartition this probe exists
+            # to enforce
+            if not f.endswith((".parquet", ".orc")):
+                width += 1
+                continue
+            p, fs = _hadoop_fs(spark, f)
             sz = fs.getFileStatus(p).getLen()
             width += max(1, -(-sz // mpb))
             if width >= need:
@@ -261,9 +271,7 @@ def extract_spans(
 
 def _read_committed(spark: SparkSession, manifest_dir: str) -> set[int]:
     try:
-        jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(manifest_dir)
-        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        hpath, fs = _hadoop_fs(spark, manifest_dir)
         if not fs.exists(hpath):
             return set()
         m = spark.read.schema(MANIFEST).parquet(manifest_dir)
@@ -280,9 +288,7 @@ def _read_committed(spark: SparkSession, manifest_dir: str) -> set[int]:
 
 def _hadoop_delete(spark: SparkSession, path: str) -> None:
     """Delete a path through the Hadoop FS API (works for any scheme)."""
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    hpath, fs = _hadoop_fs(spark, path)
     fs.delete(hpath, True)
 
 

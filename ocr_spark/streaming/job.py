@@ -123,12 +123,14 @@ def stream_enrich(
     """Stream-static enrichment join: attach dimension attributes to each
     streaming row. Stateless on the streaming side (no watermark, no state
     store — each micro-batch joins against the static frame's CURRENT
-    snapshot), so it composes freely before any stateful stage. The static
-    side is broadcast when it fits (Catalyst sizes it per micro-batch);
-    at cluster scale the dim is typically a compact keyed table refreshed
-    by re-reading the source. The standard shape for user/geo/account
+    snapshot), so it composes freely before any stateful stage. No
+    broadcast hint: Catalyst sizes the static side per micro-batch and
+    broadcasts only when it fits under autoBroadcastJoinThreshold — a
+    forced hint would OOM the driver on a large dimension. At cluster
+    scale the dim is typically a compact keyed table refreshed by
+    re-reading the source. The standard shape for user/geo/account
     lookups in front of a streaming aggregation."""
-    return events_stream.join(F.broadcast(dim), on, how)
+    return events_stream.join(dim, on, how)
 
 
 SESSION_OUT_SCHEMA = (

@@ -257,6 +257,10 @@ def test_hash_split_stable_and_proportioned(spark):
     s05 = {r.doc_id for r in sample_by_hash(docs, 0.05).collect()}
     assert s05 <= s10
     assert 0.05 <= len(s10) / n <= 0.16
+    # fraction >= 1 keeps everything ('g' sentinel sorts above every
+    # 8-hex-char bucket; formatting 16^8 would produce a 9-char string
+    # that excludes ~94% of rows)
+    assert sample_by_hash(docs, 1.0).count() == docs.count()
 
 
 def test_range_count_preceding_matches_bruteforce(spark):
