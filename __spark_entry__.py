@@ -400,6 +400,28 @@ def _q_dedup_survivors(spark, sf_dir):
     return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
 
 
+def _q_mnist_idx(spark, sf_dir):
+    """Inventory row S5 (idx1/idx3 MNIST-format reader, reference
+    `ocr2/ConvolutionalClassifier.java:123-158` — its bundled data is
+    stripped, so the fixture is synthesized deterministically):
+    binaryFile source -> mapInPandas parse, one row per tensor item,
+    image items joined to their labels by index. Oracle: the fixture's
+    by-construction expected.parquet."""
+    from ocr_spark.fixtures import ensure_idx_fixture
+    from ocr_spark.functions.multimodal import idx_records
+
+    d = ensure_idx_fixture(os.path.join(_FIXTURE_DIR, "idx"))
+    files = spark.read.format("binaryFile").load(f"{d}/*-ubyte")
+    recs = idx_records(files)
+    imgs = recs.where(F.col("path").endswith("images.idx3-ubyte")).select(
+        "item_idx", "h", "w", "px_md5", "mean_val"
+    )
+    labels = recs.where(F.col("path").endswith("labels.idx1-ubyte")).select(
+        "item_idx", F.col("mean_val").cast("long").alias("label")
+    )
+    return imgs.join(labels, "item_idx")
+
+
 def _q_doc_split_counts(spark, sf_dir):
     """Deterministic train/val/test assignment (hash-range split): per
     (lang, split) document counts. Pure per-row md5 expression — stable
@@ -956,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_survivors": _q_emb_dedup_survivors,
         "events_range_clicks": _q_events_range,
         "top_parts_per_type": _q_top_parts_per_type,
+        "mnist_idx_read": _q_mnist_idx,
         "doc_split_counts": _q_doc_split_counts,
         "doc_sample_10pct": _q_doc_sample,
         "q6_forecast_revenue": _q_forecast_revenue,
@@ -1048,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
     dec = "DECIMAL(18,2)"
     rev = f"CAST(l_extendedprice AS {dec}) * (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))"
     from ocr_spark.functions.sampling import _hex_threshold as _ht
+    from ocr_spark.fixtures import ensure_idx_fixture as _idx_fix
     stop_en = "['the','a','and','of','to','is']"
     markers = {
         "en": stop_en,
@@ -1638,6 +1662,10 @@ def oracle_sql() -> dict[str, str]:
         # flagship extraction vs by-construction truth: the synthesized
         # corpus's expected_spans.parquet is the reference answer (rendered
         # words + pre-strip sentences), so the oracle is a plain read of it
+        "mnist_idx_read": f"""
+            SELECT item_idx, h, w, px_md5, mean_val, label
+            FROM read_parquet('{_idx_fix(os.path.join(_FIXTURE_DIR, "idx"))}/expected.parquet')
+        """,
         "ocr_extract_spans": f"""
             SELECT doc_id, CAST(ord AS BIGINT) AS ord, kind, text, media_ref
             FROM read_parquet('{_synth_corpus("tiny")}/expected_spans.parquet')

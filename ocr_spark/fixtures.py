@@ -364,6 +364,54 @@ def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False,
     return documents.num_rows, media.num_rows, expected.num_rows
 
 
+def ensure_idx_fixture(out_dir: str, n_items: int = 64, side: int = 28,
+                       seed: int = SEED) -> str:
+    """Deterministic idx1/idx3 (MNIST-format) fixture: images.idx3 with
+    ``n_items`` seeded uint8 rasters, labels.idx1 with cyclic labels, and
+    expected.parquet holding the by-construction per-item truth (dims,
+    pixel md5, float mean, label) the oracle reads back. Same `_DONE`
+    marker protocol as ensure_corpus."""
+    import hashlib
+
+    from .idx import build_idx
+
+    marker = os.path.join(out_dir, "_DONE")
+    want = f"v{FIXTURE_VERSION} idx n={n_items} side={side} seed={seed}\n"
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            have = f.read()
+    if have == want:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 9000)
+    images = rng.integers(0, 256, size=(n_items, side, side), dtype=np.uint8)
+    labels = np.array([i % 10 for i in range(n_items)], dtype=np.uint8)
+    with open(os.path.join(out_dir, "images.idx3-ubyte"), "wb") as f:
+        f.write(build_idx(images))
+    with open(os.path.join(out_dir, "labels.idx1-ubyte"), "wb") as f:
+        f.write(build_idx(labels))
+    expected = pa.table(
+        {
+            "item_idx": pa.array(range(n_items), pa.int64()),
+            "h": pa.array([side] * n_items, pa.int64()),
+            "w": pa.array([side] * n_items, pa.int64()),
+            "px_md5": pa.array(
+                [hashlib.md5(images[i].tobytes()).hexdigest() for i in range(n_items)]
+            ),
+            "mean_val": pa.array(
+                [float(images[i].astype(np.float64).mean()) for i in range(n_items)],
+                pa.float64(),
+            ),
+            "label": pa.array(labels.astype(np.int64), pa.int64()),
+        }
+    )
+    pq.write_table(expected, os.path.join(out_dir, "expected.parquet"))
+    with open(marker, "w") as f:
+        f.write(want)
+    return out_dir
+
+
 def ensure_corpus(out_dir: str, scale: str = "tiny", skew: bool = False, seed: int = SEED) -> str:
     """Idempotently materialize a named-scale corpus; safe to call from
     entry()/bench.py. A `_DONE` marker commits the directory (write is not

@@ -235,6 +235,59 @@ def pdf_text(df: DataFrame, ref_col: str = "media_ref", blob_col: str = "pdf") -
     return df.select(ref_col, blob_col).mapInPandas(kernel, PDF_TEXT)
 
 
+IDX_RECORDS = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("item_idx", T.LongType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("px_md5", T.StringType()),
+        T.StructField("mean_val", T.DoubleType()),
+    ]
+)
+
+
+def idx_records(df: DataFrame, path_col: str = "path",
+                blob_col: str = "content") -> DataFrame:
+    """Explode idx1/idx3 tensor files (MNIST format — inventory row S5,
+    reference reader `ocr2/ConvolutionalClassifier.java:123-158`) into one
+    row per item. Input is a binary-file frame (``spark.read.format(
+    "binaryFile")``), so sharded corpora parallelize per file; each file
+    parses whole inside its task (bounded by shard size — the standard
+    contract for this format). idx1 (labels) items report h=w=0 with the
+    label byte as mean_val; idx3 (images) report dims, an md5 over the raw
+    pixels, and the float pixel mean."""
+    from ..idx import parse_idx
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            paths, idxs, hs, ws, md5s, means = [], [], [], [], [], []
+            for path, blob in zip(b[path_col], b[blob_col]):
+                if blob is None:
+                    continue
+                arr = parse_idx(bytes(blob))
+                for i in range(arr.shape[0] if arr.ndim else 0):
+                    item = arr[i]
+                    paths.append(path)
+                    idxs.append(i)
+                    hs.append(item.shape[0] if item.ndim >= 1 else 0)
+                    ws.append(item.shape[1] if item.ndim >= 2 else 0)
+                    md5s.append(hashlib.md5(item.tobytes()).hexdigest())
+                    means.append(float(item.astype(np.float64).mean()))
+            yield pd.DataFrame(
+                {
+                    "path": paths,
+                    "item_idx": pd.Series(idxs, dtype="int64"),
+                    "h": pd.Series(hs, dtype="int64"),
+                    "w": pd.Series(ws, dtype="int64"),
+                    "px_md5": pd.Series(md5s, dtype=object),
+                    "mean_val": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return df.select(path_col, blob_col).mapInPandas(kernel, IDX_RECORDS)
+
+
 RESIZED_IMAGE = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),

@@ -522,6 +522,27 @@ def test_pdf_stream_slicing_by_length():
     ]
 
 
+def test_idx_codec_roundtrip_and_malformed():
+    """idx1/idx3 codec (inventory S5): build->parse round trip for 1-D
+    labels and 3-D images; malformed headers fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ocr_spark.idx import build_idx, parse_idx
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, size=(5, 7, 4), dtype=np.uint8)
+    labels = np.array([1, 2, 3], dtype=np.uint8)
+    assert (parse_idx(build_idx(imgs)) == imgs).all()
+    assert (parse_idx(build_idx(labels)) == labels).all()
+    with _pytest.raises(ValueError):
+        parse_idx(b"\x01\x00\x08\x01")  # bad magic
+    with _pytest.raises(ValueError):
+        parse_idx(b"\x00\x00\x0d\x01" + b"\x00\x00\x00\x01A")  # dtype
+    with _pytest.raises(ValueError):
+        parse_idx(build_idx(imgs)[:-3])  # truncated body
+
+
 def test_pdf_length_regex_rejects_indirect_refs():
     """Multi-digit indirect refs must not backtrack into a bogus shorter
     direct match ('/Length 1234 0 R' matching as length 123)."""
