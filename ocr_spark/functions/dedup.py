@@ -331,6 +331,42 @@ def simhash_signature(bits: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def simhash_signatures_direct(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Same signatures as ``simhash_signature(simhash_bits(df))``, one
+    shuffle instead of three explosions: the md5 hex is computed once per
+    DISTINCT token, joined back to the (doc, token, cnt) counts, and all
+    64 bit sums fold inside a single hash-agg (64 conditional-sum columns,
+    whole-stage codegen). The long form shuffles |doc,token| x 64 rows
+    through the (doc, bit) aggregate — measured ~5x slower at sf0.1.
+    Bit definition identical to simhash_bits (bit j from hex digit j//4);
+    equality with the folded form is pinned by a test."""
+    doc_tokens = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    vocab = (
+        doc_tokens.select("token").distinct()
+        .select("token", F.substring(F.md5("token"), 1, 16).alias("_hex"))
+    )
+    joined = doc_tokens.join(vocab, "token")
+    # per-bit signed sum: s_j = sum(cnt * (2*bit_j - 1)); doc bit j = s_j > 0
+    terms = []
+    for j in range(64):
+        bit = (
+            f"((instr('0123456789abcdef', substring(_hex, {j // 4 + 1}, 1)) - 1)"
+            f" >> {3 - j % 4}) % 2"
+        )
+        s = f"sum(cnt * (2 * ({bit}) - 1))"
+        # shiftleft(1L, 63) wraps to min-long; the total stays in BIGINT
+        # range (min-long + at most 2^63 - 1), so the sum is exact
+        terms.append(f"CASE WHEN {s} > 0 THEN shiftleft(1L, {j}) ELSE 0L END")
+    sig = " + ".join(terms)
+    return joined.groupBy(id_col).agg(F.expr(sig).alias("simhash"))
+
+
 def simhash_near_dups(
     df: DataFrame,
     max_hamming: int = 3,
@@ -357,7 +393,7 @@ def simhash_near_dups(
     assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sig = simhash_signature(simhash_bits(df, text_col, id_col), id_col)
+    sig = simhash_signatures_direct(df, text_col, id_col)
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),

@@ -317,11 +317,17 @@ def test_simhash_near_dups_exact_recall_vs_bruteforce(spark):
         simhash_signature,
     )
 
+    from ocr_spark.functions.dedup import simhash_signatures_direct
+
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sigs = {
         r.doc_id: r.simhash
         for r in simhash_signature(simhash_bits(docs)).collect()
     }
+    direct = {
+        r.doc_id: r.simhash for r in simhash_signatures_direct(docs).collect()
+    }
+    assert direct == sigs  # one-shuffle form is bit-identical to the fold
     ids = sorted(sigs)
     brute = {
         (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
