@@ -400,6 +400,79 @@ def _q_dedup_survivors(spark, sf_dir):
     return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
 
 
+def _q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a join — promo share
+    of revenue. CASE folds inside the same hash-agg as the total (one
+    pass); DECIMAL sums, one cast to DOUBLE, ratio in double."""
+    dec = "decimal(18,2)"
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast(dec)
+         * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+        F.lit(0).cast(dec))).cast("double")
+    total = F.sum("rev").cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+        )
+    )
+
+
+def _q_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: two conditional counts per group after a
+    shuffle join (high- vs low-priority orders per return flag, one ship
+    year)."""
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def _q_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer, dims
+    broadcast, global top-20 via orderBy+limit (TakeOrdered — no
+    single-partition rank window)."""
+    dec = "decimal(18,2)"
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (F.col("l_extendedprice").cast(dec)
+         * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def _q_mnist_idx(spark, sf_dir):
     """Inventory row S5 (idx1/idx3 MNIST-format reader, reference
     `ocr2/ConvolutionalClassifier.java:123-158` — its bundled data is
@@ -978,6 +1051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_survivors": _q_emb_dedup_survivors,
         "events_range_clicks": _q_events_range,
         "top_parts_per_type": _q_top_parts_per_type,
+        "q14_promo_revenue": _q_promo_revenue,
+        "q12_priority_lines": _q_priority_lines,
+        "q10_returned_customers": _q_returned_customers,
         "mnist_idx_read": _q_mnist_idx,
         "doc_split_counts": _q_doc_split_counts,
         "doc_sample_10pct": _q_doc_sample,
@@ -1662,6 +1738,40 @@ def oracle_sql() -> dict[str, str]:
         # flagship extraction vs by-construction truth: the synthesized
         # corpus's expected_spans.parquet is the reference answer (rendered
         # words + pre-strip sentences), so the oracle is a plain read of it
+        "q14_promo_revenue": f"""
+            SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+                                 ELSE CAST(0 AS {dec}) END) AS DOUBLE) AS promo_revenue,
+                   CAST(SUM({rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS total_revenue,
+                   100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+                                 ELSE CAST(0 AS {dec}) END) AS DOUBLE)
+                         / CAST(SUM({rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS promo_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "q12_priority_lines": """
+            SELECT l.l_returnflag,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_returnflag
+        """,
+        "q10_returned_customers": f"""
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(SUM({rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
         "mnist_idx_read": f"""
             SELECT item_idx, h, w, px_md5, mean_val, label
             FROM read_parquet('{_idx_fix(os.path.join(_FIXTURE_DIR, "idx"))}/expected.parquet')
