@@ -339,7 +339,12 @@ def simhash_signatures_direct(
     DISTINCT token, joined back to the (doc, token, cnt) counts, and all
     64 bit sums fold inside a single hash-agg (64 conditional-sum columns,
     whole-stage codegen). The long form shuffles |doc,token| x 64 rows
-    through the (doc, bit) aggregate — measured ~5x slower at sf0.1.
+    through the (doc, bit) aggregate — measured ~3x slower end-to-end at
+    sf0.1 (11.2 -> 3.7 s warm for simhash_near_dups). Computing the hex
+    inline per (doc, token) row instead of the vocab join was measured a
+    wash (1.1-1.8 s vs 1.1-1.4 s for the signature leg alone): the join
+    trades |doc,token| md5 evaluations for one small distinct — kept
+    because vocabulary << corpus grows ever more true at scale.
     Bit definition identical to simhash_bits (bit j from hex digit j//4);
     equality with the folded form is pinned by a test."""
     doc_tokens = (
