@@ -400,6 +400,23 @@ def _q_dedup_survivors(spark, sf_dir):
     return docs.select("doc_id").join(dropped, "doc_id", "left_anti")
 
 
+def _q_doc_pii(spark, sf_dir):
+    """PII scrubbing audit: per-doc match counts + md5 of the redacted
+    text (emails -> URLs -> phone-like runs, the order the docstring
+    justifies). Whole-stage-codegen regexp chain, zero Python."""
+    from ocr_spark.functions.text import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+def _q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-line fraction and
+    duplicate-character fraction per document."""
+    from ocr_spark.functions.text import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir))
+
+
 def _q_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: conditional aggregation over a join — promo share
     of revenue. CASE folds inside the same hash-agg as the total (one
@@ -1051,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_survivors": _q_emb_dedup_survivors,
         "events_range_clicks": _q_events_range,
         "top_parts_per_type": _q_top_parts_per_type,
+        "doc_pii_redact": _q_doc_pii,
+        "doc_repetition": _q_doc_repetition,
         "q14_promo_revenue": _q_promo_revenue,
         "q12_priority_lines": _q_priority_lines,
         "q10_returned_customers": _q_returned_customers,
@@ -1148,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
     rev = f"CAST(l_extendedprice AS {dec}) * (CAST(1 AS {dec}) - CAST(l_discount AS {dec}))"
     from ocr_spark.functions.sampling import _hex_threshold as _ht
     from ocr_spark.fixtures import ensure_idx_fixture as _idx_fix
+    from ocr_spark.functions.text import PII_EMAIL, PII_PHONE, PII_URL
     stop_en = "['the','a','and','of','to','is']"
     markers = {
         "en": stop_en,
@@ -1738,6 +1758,38 @@ def oracle_sql() -> dict[str, str]:
         # flagship extraction vs by-construction truth: the synthesized
         # corpus's expected_spans.parquet is the reference answer (rendered
         # words + pre-strip sentences), so the oracle is a plain read of it
+        "doc_pii_redact": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_URL}'))::BIGINT AS n_url,
+                   len(regexp_extract_all(regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_URL}', '<URL>', 'g'),
+                       '{PII_PHONE}'))::BIGINT AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_URL}', '<URL>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+            FROM documents
+        """,
+        "doc_repetition": """
+            WITH ln AS (
+                SELECT doc_id, line FROM (
+                    SELECT doc_id, UNNEST(string_split(text, chr(10))) AS line
+                    FROM documents)
+                WHERE length(trim(line)) > 0
+            ), pl AS (
+                SELECT doc_id, line, COUNT(*)::BIGINT AS n FROM ln GROUP BY 1, 2
+            ), agg AS (
+                SELECT doc_id, SUM(n)::BIGINT AS n_lines,
+                       SUM(n - 1)::BIGINT AS n_dup_lines,
+                       SUM((n - 1) * length(line))::BIGINT AS dup_chars,
+                       SUM(n * length(line))::BIGINT AS total_chars
+                FROM pl GROUP BY doc_id)
+            SELECT doc_id, n_lines, n_dup_lines,
+                   CAST(dup_chars AS DOUBLE) / total_chars AS dup_char_frac,
+                   CAST(n_dup_lines AS DOUBLE) / n_lines AS dup_line_frac
+            FROM agg
+        """,
         "q14_promo_revenue": f"""
             SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                                  THEN {rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}

@@ -107,6 +107,74 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# PII patterns intentionally simple and fully shared with the SQL twin:
+# the goal is deterministic, engine-portable scrubbing, not maximal recall
+# (production recall layers more patterns the same way). Order matters —
+# emails before phones so user@host digits are not half-eaten. The
+# patterns are deliberately BACKSLASH-FREE ([.] not \., [+]? not \+?,
+# '-' last in classes): Spark SQL string literals process backslash
+# escapes while DuckDB's do not, so any backslash would make the two
+# engines compile different regexes from the same source text.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_URL = "https?://[A-Za-z0-9./_%?&=#:~+-]+"
+PII_PHONE = "[+]?[0-9][0-9(). -]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PII scrubbing: emails, URLs, then phone-like digit
+    runs replaced with typed placeholders, plus per-doc match counts (the
+    audit trail a removal pipeline needs). Pure regexp chain — whole-stage
+    codegen, no Python; the output carries md5(redacted) so the oracle
+    verifies the full redacted text without shipping it."""
+    after_email = F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>")
+    after_url = F.regexp_replace(after_email, PII_URL, "<URL>")
+    redacted = F.regexp_replace(after_url, PII_PHONE, "<PHONE>")
+    n_email = F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_EMAIL}', 0)")).cast("long")
+    n_url = F.size(F.expr(
+        f"regexp_extract_all(regexp_replace({text_col}, '{PII_EMAIL}', '<EMAIL>'),"
+        f" '{PII_URL}', 0)"
+    )).cast("long")
+    n_phone = F.size(F.expr(
+        f"regexp_extract_all(regexp_replace(regexp_replace({text_col},"
+        f" '{PII_EMAIL}', '<EMAIL>'), '{PII_URL}', '<URL>'), '{PII_PHONE}', 0)"
+    )).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_email.alias("n_email"),
+        n_url.alias("n_url"),
+        n_phone.alias("n_phone"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals: the fraction of duplicate
+    LINES per document and the fraction of characters living in those
+    duplicate instances — the standard web-text repetition filters. One
+    explode + two hash-aggs. All sums stay BIGINT (exact, order-free);
+    the two fractions are single double divisions at the end."""
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).where(F.length(F.trim("line")) > 0)
+    per_line = lines.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    agg = per_line.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_lines"),
+        # a line occurring n times contributes n-1 duplicate instances
+        F.sum(F.col("n") - 1).cast("long").alias("n_dup_lines"),
+        F.sum((F.col("n") - 1) * F.length("line")).cast("long").alias("dup_chars"),
+        F.sum(F.col("n") * F.length("line")).cast("long").alias("total_chars"),
+    )
+    return agg.select(
+        id_col,
+        "n_lines",
+        "n_dup_lines",
+        (F.col("dup_chars").cast("double") / F.col("total_chars")).alias("dup_char_frac"),
+        (F.col("n_dup_lines").cast("double") / F.col("n_lines")).alias("dup_line_frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram language ID (the statistical complement to the stopword heuristic
 # above). Profiles are tiny in-code char-trigram frequency tables built from

@@ -236,6 +236,51 @@ def test_asof_join_matches_bruteforce_on_random_inputs(spark):
             assert got[eid] == expect, (trial, eid, got[eid], expect)
 
 
+def test_redact_pii_and_repetition_cross_engine_on_planted_docs(spark):
+    """The sf corpora contain no PII and no newlines, so the driver oracle
+    rows for these queries verify only the zero case. This test plants
+    real matches and checks (a) exact counts/redactions from the Spark
+    operator and (b) byte-identical results from the DuckDB twin SQL on
+    the same rows — the non-vacuous half of the contract."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.text import redact_pii, repetition_scores
+
+    docs = [
+        (1, "contact bob.smith+x@example.co.uk or visit https://a.example.com/p?q=1#f now"),
+        (2, "call +1 (415) 555-0199 today; backup 0800 123 4567 ok"),
+        (3, "mixed http://u.io/a me@b.io 12345678901\nsecond line\nsecond line"),
+        (4, "dup\ndup\ndup\nunique longer line here"),
+        (5, "   \n\nonly blanks around\n\n"),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    pii = {r.doc_id: r for r in redact_pii(sdf).collect()}
+    assert (pii[1].n_email, pii[1].n_url, pii[1].n_phone) == (1, 1, 0)
+    assert (pii[2].n_email, pii[2].n_url, pii[2].n_phone) == (0, 0, 2)
+    assert (pii[3].n_email, pii[3].n_url, pii[3].n_phone) == (1, 1, 1)
+
+    rep = {r.doc_id: r for r in repetition_scores(sdf).collect()}
+    assert rep[4].n_lines == 4 and rep[4].n_dup_lines == 2
+    assert rep[4].dup_line_frac == 0.5
+    assert rep[4].dup_char_frac == (2 * 3) / (3 * 3 + 23)
+    assert rep[3].n_lines == 3 and rep[3].n_dup_lines == 1
+    assert rep[5].n_lines == 1 and rep[5].n_dup_lines == 0
+
+    # cross-engine: the oracle twin SQL must produce the identical rows
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    for qname, op in (("doc_pii_redact", redact_pii), ("doc_repetition", repetition_scores)):
+        oracle = {
+            tuple(row)
+            for row in con.execute(entrymod.oracle_sql()[qname]).fetchall()
+        }
+        got = {tuple(r) for r in op(sdf).collect()}
+        assert got == oracle, qname
+
+
 def test_hash_split_stable_and_proportioned(spark):
     """Split assignment is a function of (salt, doc_id) only: shrinking the
     corpus never moves a surviving document between splits; fractions land
