@@ -133,6 +133,48 @@ def stream_enrich(
     return events_stream.join(dim, on, how)
 
 
+def stream_click_purchase_join(
+    events_stream: DataFrame,
+    window_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase pairs with the
+    same user's clicks in the preceding ``window_s`` seconds. Both sides
+    carry a watermark and the join condition bounds event time on both
+    sides — the two requirements that let the engine evict join state
+    (clicks older than the watermark horizon can never match a future
+    purchase and are dropped). Inner-join output is exactly the batch
+    join's rows (watermarks bound STATE, not results), which the test
+    asserts across micro-batches."""
+    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr(f"interval {window_s} seconds"))
+    )
+    return purchases.join(clicks, cond).select(
+        "p_user", "buy_id", "buy_ts", "click_id", "click_ts"
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )

@@ -171,6 +171,57 @@ def test_stream_enrich_matches_batch_join(spark, tmp_path):
     assert got == batch
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join over two micro-batches equals
+    the batch join row-for-row (watermarks bound state, not results)."""
+    from ocr_spark.streaming.job import stream_click_purchase_join
+
+    stream_dir = str(tmp_path / "ssj_in")
+    os.makedirs(stream_dir)
+    ev = spark.read.parquet(SF_EVENTS)
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(os.path.join(stream_dir, "p0"))
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(os.path.join(stream_dir, "p1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/*")
+    )
+    out = stream_click_purchase_join(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("select * from ssj_sink").collect()}
+
+    evt = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = evt.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = evt.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("interval 1800 seconds"))
+    )
+    batch = {
+        tuple(r)
+        for r in purchases.join(clicks, cond)
+        .select("p_user", "buy_id", "buy_ts", "click_id", "click_ts")
+        .collect()
+    }
+    assert len(batch) > 0
+    assert got == batch
+
+
 def test_stream_dedup_exact_across_batches(spark, tmp_path):
     """A replayed/duplicated event in a later micro-batch must be dropped:
     feed the same file twice (distinct mtimes -> two batches) and assert the
