@@ -1760,14 +1760,14 @@ def oracle_sql() -> dict[str, str]:
         # words + pre-strip sentences), so the oracle is a plain read of it
         "doc_pii_redact": f"""
             SELECT doc_id,
-                   len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_email,
-                   len(regexp_extract_all(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-                       '{PII_URL}'))::BIGINT AS n_url,
+                   len(regexp_extract_all(regexp_replace(text, '{PII_URL}', '<URL>', 'g'),
+                       '{PII_EMAIL}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(text, '{PII_URL}'))::BIGINT AS n_url,
                    len(regexp_extract_all(regexp_replace(regexp_replace(text,
-                       '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_URL}', '<URL>', 'g'),
+                       '{PII_URL}', '<URL>', 'g'), '{PII_EMAIL}', '<EMAIL>', 'g'),
                        '{PII_PHONE}'))::BIGINT AS n_phone,
                    md5(regexp_replace(regexp_replace(regexp_replace(text,
-                       '{PII_EMAIL}', '<EMAIL>', 'g'), '{PII_URL}', '<URL>', 'g'),
+                       '{PII_URL}', '<URL>', 'g'), '{PII_EMAIL}', '<EMAIL>', 'g'),
                        '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
             FROM documents
         """,

@@ -110,33 +110,35 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 # PII patterns intentionally simple and fully shared with the SQL twin:
 # the goal is deterministic, engine-portable scrubbing, not maximal recall
 # (production recall layers more patterns the same way). Order matters —
-# emails before phones so user@host digits are not half-eaten. The
-# patterns are deliberately BACKSLASH-FREE ([.] not \., [+]? not \+?,
-# '-' last in classes): Spark SQL string literals process backslash
-# escapes while DuckDB's do not, so any backslash would make the two
-# engines compile different regexes from the same source text.
+# URLs first (the class includes '@' so a userinfo-style email inside a
+# URL is consumed whole instead of spliced), then emails, then phones so
+# user@host digits are not half-eaten. The patterns are deliberately
+# BACKSLASH-FREE ([.] not \., [+]? not \+?, '-' last in classes): Spark
+# SQL string literals process backslash escapes while DuckDB's do not,
+# so any backslash would make the two engines compile different regexes
+# from the same source text.
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-PII_URL = "https?://[A-Za-z0-9./_%?&=#:~+-]+"
+PII_URL = "https?://[A-Za-z0-9./_%?&=#:~+@-]+"
 PII_PHONE = "[+]?[0-9][0-9(). -]{7,}[0-9]"
 
 
 def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic PII scrubbing: emails, URLs, then phone-like digit
-    runs replaced with typed placeholders, plus per-doc match counts (the
-    audit trail a removal pipeline needs). Pure regexp chain — whole-stage
-    codegen, no Python; the output carries md5(redacted) so the oracle
-    verifies the full redacted text without shipping it."""
-    after_email = F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>")
-    after_url = F.regexp_replace(after_email, PII_URL, "<URL>")
-    redacted = F.regexp_replace(after_url, PII_PHONE, "<PHONE>")
-    n_email = F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_EMAIL}', 0)")).cast("long")
-    n_url = F.size(F.expr(
-        f"regexp_extract_all(regexp_replace({text_col}, '{PII_EMAIL}', '<EMAIL>'),"
-        f" '{PII_URL}', 0)"
+    """Deterministic PII scrubbing: URLs, then emails, then phone-like
+    digit runs replaced with typed placeholders, plus per-doc match counts
+    (the audit trail a removal pipeline needs). Pure regexp chain —
+    whole-stage codegen, no Python; the output carries md5(redacted) so
+    the oracle verifies the full redacted text without shipping it."""
+    after_url = F.regexp_replace(F.col(text_col), PII_URL, "<URL>")
+    after_email = F.regexp_replace(after_url, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
+    n_url = F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_URL}', 0)")).cast("long")
+    n_email = F.size(F.expr(
+        f"regexp_extract_all(regexp_replace({text_col}, '{PII_URL}', '<URL>'),"
+        f" '{PII_EMAIL}', 0)"
     )).cast("long")
     n_phone = F.size(F.expr(
         f"regexp_extract_all(regexp_replace(regexp_replace({text_col},"
-        f" '{PII_EMAIL}', '<EMAIL>'), '{PII_URL}', '<URL>'), '{PII_PHONE}', 0)"
+        f" '{PII_URL}', '<URL>'), '{PII_EMAIL}', '<EMAIL>'), '{PII_PHONE}', 0)"
     )).cast("long")
     return df.select(
         F.col(id_col),

@@ -141,11 +141,16 @@ def stream_click_purchase_join(
     """Watermarked stream-stream inner join: each purchase pairs with the
     same user's clicks in the preceding ``window_s`` seconds. Both sides
     carry a watermark and the join condition bounds event time on both
-    sides — the two requirements that let the engine evict join state
-    (clicks older than the watermark horizon can never match a future
-    purchase and are dropped). Inner-join output is exactly the batch
-    join's rows (watermarks bound STATE, not results), which the test
-    asserts across micro-batches."""
+    sides — the two requirements that let the engine evict join state.
+
+    Semantics contract: the output equals the batch join's rows for every
+    event arriving within the watermark bound; a row arriving LATER than
+    the watermark horizon (more than ``watermark`` behind the stream's
+    max event time in a prior micro-batch) is dropped by the engine —
+    that is what a watermark means, state eviction is only sound because
+    the late row can no longer join. Size ``watermark`` to the source's
+    real out-of-orderness; the test feeds time-ordered micro-batches and
+    asserts batch equality with many cross-batch pairs."""
     ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     clicks = (
         ev.where(F.col("event_type") == "click")

@@ -253,12 +253,20 @@ def test_redact_pii_and_repetition_cross_engine_on_planted_docs(spark):
         (3, "mixed http://u.io/a me@b.io 12345678901\nsecond line\nsecond line"),
         (4, "dup\ndup\ndup\nunique longer line here"),
         (5, "   \n\nonly blanks around\n\n"),
+        # userinfo-style email inside a URL: URL-first order must consume
+        # it whole (n_url=1, n_email=0, no residue) — email-first would
+        # splice it and leave '/secret-path' unredacted
+        (6, "see https://bob@example.com/secret-path now"),
     ]
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
     pii = {r.doc_id: r for r in redact_pii(sdf).collect()}
     assert (pii[1].n_email, pii[1].n_url, pii[1].n_phone) == (1, 1, 0)
     assert (pii[2].n_email, pii[2].n_url, pii[2].n_phone) == (0, 0, 2)
     assert (pii[3].n_email, pii[3].n_url, pii[3].n_phone) == (1, 1, 1)
+    assert (pii[6].n_email, pii[6].n_url, pii[6].n_phone) == (0, 1, 0)
+    import hashlib
+
+    assert pii[6].redacted_md5 == hashlib.md5(b"see <URL> now").hexdigest()
 
     rep = {r.doc_id: r for r in repetition_scores(sdf).collect()}
     assert rep[4].n_lines == 4 and rep[4].n_dup_lines == 2

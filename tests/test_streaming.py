@@ -172,22 +172,40 @@ def test_stream_enrich_matches_batch_join(spark, tmp_path):
 
 
 def test_stream_stream_join_matches_batch(spark, tmp_path):
-    """Watermarked stream-stream inner join over two micro-batches equals
-    the batch join row-for-row (watermarks bound state, not results)."""
+    """Watermarked stream-stream inner join over time-ordered micro-batches
+    equals the batch join row-for-row. Micro-batches are split by EVENT
+    TIME (the realistic arrival order for a watermarked source — a split
+    by id parity would make every batch span the whole month and rows in
+    batch 3+ would be dropped as late, correctly, per watermark
+    semantics), and the join window is widened to 3 days so many pairs
+    cross micro-batch boundaries, exercising the join state."""
     from ocr_spark.streaming.job import stream_click_purchase_join
 
     stream_dir = str(tmp_path / "ssj_in")
     os.makedirs(stream_dir)
     ev = spark.read.parquet(SF_EVENTS)
-    ev.where(F.col("event_id") % 2 == 0).write.parquet(os.path.join(stream_dir, "p0"))
-    ev.where(F.col("event_id") % 2 == 1).write.parquet(os.path.join(stream_dir, "p1"))
+    # four time-ordered slices -> four micro-batches
+    qs = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), array(0.25, 0.5, 0.75)) q").collect()[0].q
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    slices = [
+        ev.where(us < qs[0]),
+        ev.where((us >= qs[0]) & (us < qs[1])),
+        ev.where((us >= qs[1]) & (us < qs[2])),
+        ev.where(us >= qs[2]),
+    ]
+    for i, sl in enumerate(slices):
+        # one file per slice: within-slice part files would arrive in
+        # arbitrary order and rows >2h behind a sibling part would be
+        # (correctly) dropped as late
+        sl.coalesce(1).write.parquet(os.path.join(stream_dir, f"t{i}"))
 
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir + "/*")
     )
-    out = stream_click_purchase_join(stream)
+    WINDOW_S = 3 * 86400
+    out = stream_click_purchase_join(stream, window_s=WINDOW_S)
     q = (
         out.writeStream.outputMode("append")
         .format("memory")
@@ -210,7 +228,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     cond = (
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("buy_ts"))
-        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("interval 1800 seconds"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr(f"interval {WINDOW_S} seconds"))
     )
     batch = {
         tuple(r)
@@ -218,6 +236,18 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         .select("p_user", "buy_id", "buy_ts", "click_id", "click_ts")
         .collect()
     }
+
+    import bisect
+    import datetime as dt
+
+    # session tz is UTC (spark fixture), so naive UTC datetimes align
+    bounds = [dt.datetime.utcfromtimestamp(q / 1e6) for q in qs]
+
+    def slice_of(ts):
+        return bisect.bisect_right(bounds, ts)
+
+    cross = sum(1 for (_, _, bts, _, cts) in batch if slice_of(bts) != slice_of(cts))
+    assert cross >= 10, f"only {cross} cross-batch pairs — evidence too thin"
     assert len(batch) > 0
     assert got == batch
 
