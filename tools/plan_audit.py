@@ -22,7 +22,9 @@ AUDIT = ["q1_pricing_summary","q3_order_revenue","q5_nation_volume","brand_volum
          "events_asof_click","doc_length_quantiles",
          "events_top_users","token_histogram","lsh_jaccard_est",
          "simhash_near_dups","emb_dedup_survivors","events_range_clicks",
-         "top_parts_per_type"]
+         "top_parts_per_type",
+         "doc_pii_redact","doc_repetition","q10_returned_customers",
+         "doc_split_counts","doc_sample_10pct"]
 q = e.queries()
 for name in AUDIT:
     df = q[name](spark, SF)
