@@ -201,6 +201,11 @@ def train_ivf_centroids(df, n_clusters: int = 16, iters: int = 10,
     SQL): float summation-order noise between engines is ~1e-13 relative,
     so quantizing each iteration's output keeps the centroid sequences
     bit-identical instead of letting the noise compound across iterations.
+    The quantizer is deliberately MODE-AGNOSTIC — ``floor(x*1e6 + 0.5)/1e6``
+    on both engines — because np.round (half-to-even) and DuckDB ROUND
+    (half-away-from-zero) disagree at half-ulp boundaries; a 1-ULP mean
+    difference near a boundary would flip the 6th decimal differently per
+    engine and compound across iterations. floor() is identical everywhere.
     Empty clusters keep their previous (unquantized-init or prior-rounded)
     centroid on both sides.
 
@@ -225,7 +230,9 @@ def train_ivf_centroids(df, n_clusters: int = 16, iters: int = 10,
         for c in range(n_clusters):
             m = a == c
             if m.any():
-                C[c] = np.round(X[m].mean(axis=0), 6)
+                # shared rounding rule with the SQL twin (see docstring):
+                # floor-based round-half-up, not np.round's half-to-even
+                C[c] = np.floor(X[m].mean(axis=0) * 1e6 + 0.5) / 1e6
     return C
 
 

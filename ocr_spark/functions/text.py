@@ -131,15 +131,23 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     after_url = F.regexp_replace(F.col(text_col), PII_URL, "<URL>")
     after_email = F.regexp_replace(after_url, PII_EMAIL, "<EMAIL>")
     redacted = F.regexp_replace(after_email, PII_PHONE, "<PHONE>")
-    n_url = F.size(F.expr(f"regexp_extract_all({text_col}, '{PII_URL}', 0)")).cast("long")
-    n_email = F.size(F.expr(
-        f"regexp_extract_all(regexp_replace({text_col}, '{PII_URL}', '<URL>'),"
-        f" '{PII_EMAIL}', 0)"
-    )).cast("long")
-    n_phone = F.size(F.expr(
-        f"regexp_extract_all(regexp_replace(regexp_replace({text_col},"
-        f" '{PII_URL}', '<URL>'), '{PII_EMAIL}', '<EMAIL>'), '{PII_PHONE}', 0)"
-    )).cast("long")
+
+    # Match counts WITHOUT re-running the regex chain (it used to be run
+    # ~2x over, 6 regex scans per doc instead of 3): each stage's count is
+    # the placeholder-occurrence DELTA across that one replace. Exact, not
+    # heuristic: the inserted literal is the whole placeholder and none of
+    # the pattern classes contain '<' or '>', so an insertion can never
+    # splice with surrounding text into an extra occurrence, and
+    # pre-existing literal placeholders cancel in the subtraction.
+    # Occurrences are counted with length/replace — cheap byte scans, no
+    # regex — and Catalyst CSE shares the three chained regexp_replace
+    # stages across all output columns.
+    def _cnt(col, lit):
+        return (F.length(col) - F.length(F.replace(col, F.lit(lit), F.lit("")))) / len(lit)
+
+    n_url = (_cnt(after_url, "<URL>") - _cnt(F.col(text_col), "<URL>")).cast("long")
+    n_email = (_cnt(after_email, "<EMAIL>") - _cnt(after_url, "<EMAIL>")).cast("long")
+    n_phone = (_cnt(redacted, "<PHONE>") - _cnt(after_email, "<PHONE>")).cast("long")
     return df.select(
         F.col(id_col),
         n_email.alias("n_email"),

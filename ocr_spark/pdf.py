@@ -110,21 +110,32 @@ def _iter_streams(pdf: bytes):
             return
         body_start = m.end()
         body_end = None
+        keyword_end = None  # position just past 'endstream' for the advance
         lm = None
         for lm in _LENGTH.finditer(pdf, max(0, m.start() - 512), m.start()):
             pass  # keep the last /Length before the stream keyword
         if lm is not None:
             end = body_start + int(lm.group(1))
-            # trust /Length only if endstream actually follows the slice
-            # (tolerating the EOL the writer puts before the keyword)
-            if end <= n and _ENDSTREAM_AT.match(pdf, end, min(n, end + 16)):
+            # trust /Length only if endstream actually follows the slice —
+            # any run of EOL/pad whitespace before the keyword is tolerated
+            # (no byte cap: the regex is anchored at `end`, so an arbitrary
+            # pad costs one linear whitespace scan, and capping it would
+            # silently reject a CORRECT /Length and fall back to the
+            # truncation-prone first-endstream scan)
+            em = _ENDSTREAM_AT.match(pdf, end) if end <= n else None
+            if em is not None:
                 body_end = end
+                keyword_end = em.end()
         if body_end is None:  # no/indirect/wrong /Length: first endstream
             body_end = pdf.find(b"endstream", body_start)
             if body_end == -1:
                 return
+            keyword_end = body_end + len(b"endstream")
         yield pdf[body_start:body_end]
-        pos = body_end + len(b"endstream")
+        # advance to the END of the matched keyword, not body_end + 9:
+        # on the /Length path body_end sits BEFORE the pad whitespace, so a
+        # fixed offset could land mid-'endstream' and desync the next scan
+        pos = keyword_end
 
 
 def extract_text(pdf: bytes) -> list[str]:
