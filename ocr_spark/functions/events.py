@@ -134,10 +134,12 @@ def range_count_preceding(
     side on a uniform composite key; no bucket sees more than ~2 windows
     of one group's rows, so group skew is already diluted W-fold.
 
-    Left rows must be unique on their full column set (the count groups by
-    that identity).
+    Duplicate left rows are SAFE: each left row gets an internal
+    ``monotonically_increasing_id`` probe key (kept through the join,
+    grouped on, and dropped before output), so two identical left rows
+    each keep their own count instead of collapsing into one summed row.
     """
-    reserved = {"_l_us", "_bucket", "_r_by", "_r_us"}
+    reserved = {"_l_us", "_bucket", "_r_by", "_r_us", "_l_rid"}
     for name, cols in (("left", left.columns), ("right", right.columns)):
         clash = reserved.intersection(cols)
         if clash:
@@ -148,8 +150,10 @@ def range_count_preceding(
             )
     l_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     r_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    lb = left.select(
-        *left.columns,
+    # the probe id is projected BEFORE the explode, so both probe rows of
+    # one left row share it; ids are partition-local counters (no shuffle)
+    lb = left.withColumn("_l_rid", F.monotonically_increasing_id()).select(
+        "*",
         l_us.alias("_l_us"),
         F.explode(
             F.array(
@@ -174,10 +178,11 @@ def range_count_preceding(
             (F.col(by) == F.col("_r_by")) & (lb["_bucket"] == rb["_bucket"]),
             "left",
         )
-        .groupBy(*[lb[c] for c in left.columns])
+        .groupBy(lb["_l_rid"], *[lb[c] for c in left.columns])
         .agg(
             F.count(F.when(in_window, F.lit(1))).cast("long").alias(out_col)
         )
+        .drop("_l_rid")
     )
 
 

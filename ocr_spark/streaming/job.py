@@ -186,6 +186,50 @@ SESSION_OUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "session_start timestamp, last_ts timestamp, n_events bigint"
 
 
+def _merge_session_intervals(acc, chunk_ts_us, gap_us: int):
+    """Fold one chunk of epoch-microsecond timestamps (any order) into
+    ``acc``, a list of ``[start_us, end_us, count]`` session intervals
+    sorted by start with consecutive intervals separated by > ``gap_us``.
+
+    Gap-sessionization of a set of timestamps is exactly the gap-union of
+    their point intervals, and union is order-independent — so folding
+    chunk-by-chunk gives bit-identical sessions to sorting the whole batch
+    at once, while per-key memory stays O(#sessions in flight), NOT
+    O(#events in the batch) (the ``pd.concat(list(pdf_iter))`` this
+    replaces OOMed the Python worker on a hot key with millions of events
+    in one micro-batch). Exposed at module level for direct unit testing.
+    """
+    import numpy as np
+
+    ts = np.sort(np.asarray(chunk_ts_us, dtype=np.int64))
+    if len(ts) == 0:
+        return acc
+    brk = np.flatnonzero(np.diff(ts) > gap_us)
+    bounds = np.concatenate(([0], brk + 1, [len(ts)]))
+    c_starts = ts[bounds[:-1]]
+    c_ends = ts[bounds[1:] - 1]
+    c_counts = np.diff(bounds)
+
+    # two-pointer merge of two start-sorted interval lists, gap-coalescing
+    # as we go; both lists are ~#sessions long, so this loop is tiny even
+    # when the chunk holds millions of events
+    out: list[list[int]] = []
+    i = j = 0
+    while i < len(acc) or j < len(c_starts):
+        if j >= len(c_starts) or (i < len(acc) and acc[i][0] <= c_starts[j]):
+            s, e, c = acc[i]
+            i += 1
+        else:
+            s, e, c = int(c_starts[j]), int(c_ends[j]), int(c_counts[j])
+            j += 1
+        if out and s - out[-1][1] <= gap_us:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += c
+        else:
+            out.append([s, e, c])
+    return out
+
+
 def stream_sessionize_stateful(events_stream: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user gap-based sessionization with state that survives micro-batch
@@ -195,34 +239,46 @@ def stream_sessionize_stateful(events_stream: DataFrame, gap_s: int = 1800) -> D
 
     Emits a row per CLOSED session (append mode); each user's still-open
     session lives in the state store until a later event closes it.
+
+    Memory contract: Arrow chunks from ``pdf_iter`` are folded one at a
+    time into a gap-separated interval list (see
+    ``_merge_session_intervals``), so a hot key holds O(#sessions) ints,
+    never the micro-batch's rows.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    gap_us = gap_s * 1_000_000
+
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        events = pd.concat(list(pdf_iter))
-        if len(events) == 0:
-            return
-        ts = events["ts"].sort_values().reset_index(drop=True)
 
         if state.exists:
-            session_start, last_ts, n_events = state.get
-            session_start = pd.Timestamp(session_start)
-            last_ts = pd.Timestamp(last_ts)
+            s0, e0, n0 = state.get
+            acc = [[pd.Timestamp(s0).value // 1000, pd.Timestamp(e0).value // 1000, int(n0)]]
         else:
-            session_start, last_ts, n_events = None, None, 0
+            acc = []
 
-        closed = []
-        for t in ts:
-            if last_ts is not None and (t - last_ts).total_seconds() > gap_s:
-                closed.append((user_id, session_start, last_ts, n_events))
-                session_start, n_events = t, 0
-            if session_start is None:
-                session_start = t
-            last_ts = t
-            n_events += 1
-        state.update((session_start.to_pydatetime(), last_ts.to_pydatetime(), int(n_events)))
+        saw_rows = False
+        for chunk in pdf_iter:
+            if len(chunk) == 0:
+                continue
+            saw_rows = True
+            ts_us = (
+                chunk["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            acc = _merge_session_intervals(acc, ts_us, gap_us)
+        if not saw_rows:
+            return  # empty invocation: leave state untouched
+
+        def _ts(us: int):
+            return pd.Timestamp(us, unit="us")
+
+        closed = [
+            (user_id, _ts(s), _ts(e), int(c)) for s, e, c in acc[:-1]
+        ]
+        s, e, c = acc[-1]
+        state.update((_ts(s).to_pydatetime(), _ts(e).to_pydatetime(), int(c)))
         if closed:
             yield pd.DataFrame(
                 closed, columns=["user_id", "session_start", "session_end", "n_events"]

@@ -359,6 +359,27 @@ def test_range_count_preceding_matches_bruteforce(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_range_count_preceding_duplicate_left_rows(spark):
+    """Two IDENTICAL left rows must each keep their own count (the internal
+    monotonically_increasing_id probe key prevents the old collapse into
+    one row with a summed count)."""
+    from ocr_spark.functions.events import range_count_preceding
+
+    left = spark.createDataFrame(
+        [("u1", 5_000_000), ("u1", 5_000_000), ("u1", 9_000_000)],
+        "user_id string, us long",
+    ).select("user_id", F.timestamp_micros("us").alias("ts"))
+    right = spark.createDataFrame(
+        [("u1", 4_500_000), ("u1", 4_800_000), ("u1", 8_990_000)],
+        "user_id string, us long",
+    ).select("user_id", F.timestamp_micros("us").alias("ts"))
+    out = range_count_preceding(left, right, window_us=1_000_000, out_col="n")
+    rows = sorted((r.user_id, r.ts.timestamp(), r.n) for r in out.collect())
+    # both duplicate rows survive, each counting 2 (not one row counting 4)
+    assert rows == [("u1", 5.0, 2), ("u1", 5.0, 2), ("u1", 9.0, 1)]
+    assert "_l_rid" not in out.columns
+
+
 def test_simhash_near_dups_exact_recall_vs_bruteforce(spark):
     """Pigeonhole banding is EXACT for hamming <= n_bands-1: on the
     sf0.001 corpus the banded equi-join (uncapped) must produce exactly

@@ -342,3 +342,91 @@ def test_stateful_sessionize_spans_batches(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 50  # plenty of closed sessions in the sf0.001 stream
+
+
+def test_merge_session_intervals_order_independent():
+    """The chunk fold must be exact under ANY chunking and ANY cross-chunk
+    disorder: folding a shuffled, arbitrarily-chunked stream of timestamps
+    yields bit-identical intervals to one pass over the fully sorted data
+    (gap-union of point intervals is order-independent)."""
+    import numpy as np
+
+    from ocr_spark.streaming.job import _merge_session_intervals
+
+    rng = np.random.RandomState(7)
+    gap = 100
+    ts = rng.randint(0, 20_000, size=5_000).astype(np.int64)
+    ref = _merge_session_intervals([], np.sort(ts), gap)
+
+    shuffled = ts[rng.permutation(len(ts))]
+    acc = []
+    for chunk in np.array_split(shuffled, 13):
+        acc = _merge_session_intervals(acc, chunk, gap)
+    assert acc == ref
+
+    assert sum(c for _, _, c in ref) == len(ts)
+    for a, b in zip(ref, ref[1:]):
+        assert b[0] - a[1] > gap  # intervals really are gap-separated
+
+
+def test_stateful_sessionize_hot_key_chunked(spark, tmp_path):
+    """Hot-key memory contract: ONE user whose micro-batch spans many Arrow
+    chunks (forced via arrow.maxRecordsPerBatch) sessionizes exactly even
+    with events shuffled across chunks — the operator folds chunk-by-chunk
+    (O(#sessions) state, see _merge_session_intervals) instead of
+    pd.concat-ing the whole batch, which OOMed on hot keys."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.streaming.job import stream_sessionize_stateful
+
+    base = 1_600_000_000
+    n_per = 10_000
+    starts = [base, base + 20_000, base + 40_000]  # 1s strides, gaps >> 1800s
+    ts = np.concatenate([s + np.arange(n_per, dtype=np.int64) for s in starts])
+    rng = np.random.RandomState(11)
+    ts = ts[rng.permutation(len(ts))]  # shuffled across the whole batch
+
+    stream_dir = str(tmp_path / "hot_in")
+    os.makedirs(stream_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(np.full(len(ts), 42, dtype=np.int64)),
+                "ts": pa.array(ts * 1_000_000, type=pa.timestamp("us")),
+            }
+        ),
+        os.path.join(stream_dir, "a.parquet"),
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+    try:
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .parquet(stream_dir)
+        )
+        q = (
+            stream_sessionize_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("hot_sessions_sink")
+            .option("checkpointLocation", str(tmp_path / "hot_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    got = sorted(
+        (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+        for r in spark.sql("select * from hot_sessions_sink").collect()
+    )
+    # the first two sessions close (a later session exists); the third stays
+    # open in state and is not emitted
+    expected = [
+        (42, float(s), float(s + n_per - 1), n_per) for s in starts[:2]
+    ]
+    assert got == expected
