@@ -1027,15 +1027,19 @@ def _q_pdf_text(spark, sf_dir):
 
 
 def _q_frame_sample(spark, sf_dir):
-    """Non-SQL-expressible: video frame-sampling plumbing (deterministic fake
-    decode; real codec stubbed per container limits)."""
+    """Video modality: REAL frame decode + sampling. The corpus ships
+    YUV4MPEG2 clips (raw planar frames — ocr_spark.y4m parses them with no
+    codec library, cycling 420/422/444/mono chroma layouts) and the oracle
+    is by-construction truth: mean luma per sampled frame computed on the
+    uint8 planes before serialization, so a desynced frame walk or wrong
+    plane stride fails the value hash."""
     from ocr_spark.functions.multimodal import frame_sample
 
     corpus = _synth_corpus("tiny")
-    media = spark.read.parquet(f"{corpus}/media.parquet").select(
-        "media_ref", F.col("png").alias("payload")
+    videos = spark.read.parquet(f"{corpus}/videos.parquet").select(
+        "media_ref", F.col("y4m").alias("payload")
     )
-    return frame_sample(media, deterministic_fake=True)
+    return frame_sample(videos)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1869,5 +1873,11 @@ def oracle_sql() -> dict[str, str]:
         "media_pdf_text": f"""
             SELECT media_ref, page_idx, text
             FROM read_parquet('{_synth_corpus("tiny")}/pdf_expected.parquet')
+        """,
+        # y4m decode->frame-sample vs by-construction mean-luma truth
+        # (computed on the raw planes before serialization)
+        "video_frame_sample": f"""
+            SELECT media_ref, frame_idx, feature
+            FROM read_parquet('{_synth_corpus("tiny")}/video_expected.parquet')
         """,
     }

@@ -58,6 +58,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from ocr_spark.fixtures import write_corpus
     from ocr_spark.pipeline.job import configure, extract_spans, read_documents, read_media, read_pdfs
+    from ocr_spark.procstat import StealMeter
 
     builder = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -87,11 +88,17 @@ def main() -> None:
     )
     _force(extract_spans(read_documents(spark, tiny), read_media(spark, tiny)))
 
+    # Per-leg hypervisor-steal telemetry (VERDICT r03 #2): a leg's seconds are
+    # only interpretable next to how much CPU the host actually delivered.
     times: dict[str, float] = {}
+    steal: dict[str, float | None] = {}
+    run_meter = StealMeter()
     for name in HEADLINE:
+        m = StealMeter()
         t0 = time.perf_counter()
         _force(qmap[name](spark, SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
+        steal[name] = m.pct()
 
     # flagship extraction throughput (corpus cached; synth excluded from timing)
     corpus = os.path.join(
@@ -105,10 +112,12 @@ def main() -> None:
             f.write("bench corpus\n")
     docs = read_documents(spark, corpus)
     media = read_media(spark, corpus)
+    m = StealMeter()
     t0 = time.perf_counter()
     _force(extract_spans(docs, media, character_spacing=8.0))
     extract_s = time.perf_counter() - t0
     times["extract_spans"] = round(extract_s, 3)
+    steal["extract_spans"] = m.pct()
 
     # three-kind interleave (text + image-OCR + PDF parse): the PDF cost
     # class has its own decode path, so the headline tracks it separately
@@ -124,10 +133,12 @@ def main() -> None:
     docs3 = read_documents(spark, corpus3)
     media3 = read_media(spark, corpus3)
     pdfs3 = read_pdfs(spark, corpus3)
+    m = StealMeter()
     t0 = time.perf_counter()
     _force(extract_spans(docs3, media3, character_spacing=8.0, pdfs=pdfs3))
     extract3_s = time.perf_counter() - t0
     times["extract_interleaved3"] = round(extract3_s, 3)
+    steal["extract_interleaved3"] = m.pct()
 
     total = round(sum(times.values()), 3)
     print(
@@ -141,6 +152,8 @@ def main() -> None:
                 "extract_docs": EXTRACT_DOCS,
                 "extract_docs_per_sec": round(EXTRACT_DOCS / extract_s, 2),
                 "extract3_docs_per_sec": round(EXTRACT_DOCS / extract3_s, 2),
+                "steal_pct": run_meter.pct(),
+                "steal_pct_per_query": steal,
             }
         )
     )

@@ -29,7 +29,7 @@ SEED = 1337
 
 # bump when the corpus schema/content changes: ensure_corpus regenerates any
 # cached dir whose _DONE marker carries an older version
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5
 
 # validated: each word round-trips render -> segment -> classify exactly
 # (glyphs i j l m w W X 0 and thin punctuation excluded — the reference
@@ -303,6 +303,64 @@ def synthesize_audio(n_clips: int, seed: int = SEED, sample_rate: int = 8000):
     )
 
 
+def synthesize_videos(n_clips: int, seed: int = SEED, n_sample: int = 4):
+    """Deterministic y4m video clips (raw planar YUV — ocr_spark.y4m, no
+    codec library) plus by-construction frame-sampling truth: the expected
+    table holds mean luma per sampled frame, computed on the uint8 planes
+    BEFORE serialization (same codec-independent pattern as the WAV/ink
+    stats). Colorspaces cycle 420jpeg/422/444/mono so every chroma layout's
+    frame stride is exercised — a desynced frame walk reads chroma bytes as
+    luma and fails the value hash. Returns (videos, expected) tables."""
+    from .y4m import build_y4m, sample_indices
+
+    rng = np.random.default_rng(seed + 23)
+    spaces = ["420jpeg", "422", "444", "mono"]
+    chroma_div = {"420jpeg": (2, 2), "422": (1, 2), "444": (1, 1)}
+    refs, blobs, widths, heights, totals, css = [], [], [], [], [], []
+    exp_ref, exp_idx, exp_feat = [], [], []
+    for i in range(n_clips):
+        cs = spaces[i % len(spaces)]
+        w = 2 * int(rng.integers(8, 25))
+        h = 2 * int(rng.integers(6, 19))
+        n_total = int(rng.integers(2, 13))
+        y = rng.integers(0, 256, size=(n_total, h, w), dtype=np.uint8)
+        chroma = None
+        if cs in chroma_div:
+            dh, dw = chroma_div[cs]
+            chroma = rng.integers(
+                0, 256, size=(n_total, 2, h // dh, w // dw), dtype=np.uint8
+            )
+        ref = f"vid-{i:06d}"
+        refs.append(ref)
+        blobs.append(build_y4m(y, colorspace=cs, chroma=chroma))
+        widths.append(w)
+        heights.append(h)
+        totals.append(n_total)
+        css.append(cs)
+        for fi in sample_indices(n_total, n_sample):
+            exp_ref.append(ref)
+            exp_idx.append(fi)
+            exp_feat.append(round(float(y[fi].astype(np.float64).mean()), 6))
+    videos = pa.table(
+        {
+            "media_ref": refs,
+            "y4m": pa.array(blobs, pa.binary()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "n_frames": pa.array(totals, pa.int64()),
+            "colorspace": css,
+        }
+    )
+    expected = pa.table(
+        {
+            "media_ref": exp_ref,
+            "frame_idx": pa.array(exp_idx, pa.int64()),
+            "feature": pa.array(exp_feat, pa.float64()),
+        }
+    )
+    return videos, expected
+
+
 def synthesize_pdfs(n_pdfs: int, seed: int = SEED):
     """Deterministic text PDFs with by-construction truth: each document has
     1-3 pages of WORDLIST sentences; truth = the page texts joined exactly
@@ -361,6 +419,9 @@ def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False,
     pq.write_table(audio, os.path.join(out_dir, "audio.parquet"), row_group_size=512)
     pq.write_table(pdfs, os.path.join(out_dir, "pdfs.parquet"), row_group_size=512)
     pq.write_table(pdf_expected, os.path.join(out_dir, "pdf_expected.parquet"))
+    videos, video_expected = synthesize_videos(max(8, n_pages // 2), seed=seed)
+    pq.write_table(videos, os.path.join(out_dir, "videos.parquet"), row_group_size=64)
+    pq.write_table(video_expected, os.path.join(out_dir, "video_expected.parquet"))
     return documents.num_rows, media.num_rows, expected.num_rows
 
 

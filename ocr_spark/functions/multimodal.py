@@ -97,10 +97,19 @@ def frame_sample(
     blob_col: str = "payload",
     deterministic_fake: bool = False,
 ) -> DataFrame:
-    """Video frame-sampling plumbing: emits ``n_frames`` rows per blob with a
-    per-frame scalar feature. Real decode is stubbed (no codec in container);
-    with ``deterministic_fake`` the feature is derived from md5(payload) so
-    the batch shape, explode factor and partitioning are fully exercised."""
+    """Video frame sampling: emits up to ``n_frames`` evenly-spaced rows per
+    blob with ``frame_idx`` = the sampled source-frame index and ``feature``
+    = that frame's mean luma (rounded 6).
+
+    YUV4MPEG2 (.y4m) blobs are decoded FOR REAL (ocr_spark.y4m — raw planar
+    frames, no codec library needed); fixtures carry by-construction
+    per-frame truth computed on the planes before encoding, so a desynced
+    frame walk reads the wrong bytes and fails the oracle. Compressed
+    containers (mp4/webm) would need ffmpeg, which this container doesn't
+    ship: with ``deterministic_fake`` such blobs get an md5-derived pseudo
+    feature (frame_idx 0..n-1) so pipeline plumbing stays testable; without
+    it they raise."""
+    from ..y4m import MAGIC as Y4M_MAGIC, parse_y4m, sample_indices
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,11 +117,19 @@ def frame_sample(
             for ref, blob in zip(pdf[ref_col], pdf[blob_col]):
                 if blob is None:
                     continue
+                raw = bytes(blob)
+                if raw.startswith(Y4M_MAGIC):
+                    _, frames = parse_y4m(raw)
+                    for fi in sample_indices(len(frames), n_frames):
+                        refs.append(ref)
+                        idxs.append(fi)
+                        feats.append(round(float(frames[fi][0].mean()), 6))
+                    continue
                 if not deterministic_fake:
                     raise NotImplementedError(
-                        "video decode requires ffmpeg/av, not shipped here"
+                        "non-y4m video decode requires ffmpeg/av, not shipped here"
                     )
-                digest = hashlib.md5(bytes(blob)).digest()
+                digest = hashlib.md5(raw).digest()
                 for i in range(n_frames):
                     refs.append(ref)
                     idxs.append(i)

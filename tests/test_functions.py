@@ -623,6 +623,91 @@ def test_idx_codec_roundtrip_and_malformed():
         parse_idx(build_idx(imgs)[:-3])  # truncated body
 
 
+def test_y4m_codec_roundtrip_and_malformed():
+    """y4m codec: build->parse round trip is plane-exact for every supported
+    chroma layout; malformed streams fail loudly instead of desyncing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ocr_spark.y4m import Y4MError, build_y4m, parse_y4m, sample_indices
+
+    rng = np.random.default_rng(11)
+    divs = {"420jpeg": (2, 2), "422": (1, 2), "444": (1, 1)}
+    for cs in ["420jpeg", "422", "444", "mono"]:
+        n, h, w = 3, 12, 16
+        y = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+        chroma = None
+        if cs != "mono":
+            dh, dw = divs[cs]
+            chroma = rng.integers(0, 256, size=(n, 2, h // dh, w // dw), dtype=np.uint8)
+        info, frames = parse_y4m(build_y4m(y, colorspace=cs, chroma=chroma))
+        assert (info["width"], info["height"], info["n_frames"]) == (w, h, n)
+        assert info["colorspace"] == cs
+        for i, (fy, fu, fv) in enumerate(frames):
+            assert (fy == y[i]).all()
+            if cs == "mono":
+                assert fu is None and fv is None
+            else:
+                assert (fu == chroma[i, 0]).all() and (fv == chroma[i, 1]).all()
+
+    good = build_y4m(rng.integers(0, 256, size=(2, 4, 4), dtype=np.uint8))
+    with _pytest.raises(Y4MError):
+        parse_y4m(b"JUNK" + good)  # bad magic
+    with _pytest.raises(Y4MError):
+        parse_y4m(good[:-5])  # truncated final frame
+    with _pytest.raises(Y4MError):
+        parse_y4m(good.replace(b"C420jpeg", b"C410"))  # unsupported colorspace
+    with _pytest.raises(Y4MError):
+        parse_y4m(good.replace(b"FRAME\n", b"FRAMX\n", 1))  # bad frame marker
+    with _pytest.raises(Y4MError):
+        build_y4m(rng.integers(0, 256, size=(1, 5, 4), dtype=np.uint8))  # odd H for 420
+    with _pytest.raises(Y4MError):
+        build_y4m(
+            rng.integers(0, 256, size=(1, 4, 4), dtype=np.uint8),
+            chroma=np.zeros((1, 2, 3, 3), dtype=np.uint8),  # wrong chroma dims
+        )
+
+    # sampler contract shared with fixture truth: evenly spaced from frame 0
+    assert sample_indices(10, 4) == [0, 2, 5, 7]
+    assert sample_indices(3, 4) == [0, 1, 2]
+    assert sample_indices(1, 4) == [0]
+    assert sample_indices(12, 4) == [0, 3, 6, 9]
+
+
+def test_frame_sample_real_y4m_decode(spark):
+    """Video frame sampling decodes real y4m blobs: known per-frame luma
+    comes back exactly; nulls are skipped; non-y4m blobs raise without the
+    deterministic_fake gate and pseudo-sample with it."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ocr_spark.functions.multimodal import frame_sample
+    from ocr_spark.y4m import build_y4m
+
+    # clip A: 6 frames, frame i has constant luma 10*i (420 layout)
+    ya = np.stack([np.full((8, 10), 10 * i, dtype=np.uint8) for i in range(6)])
+    # clip B: 2 frames, mono layout
+    yb = np.stack([np.full((6, 6), 7, dtype=np.uint8), np.full((6, 6), 200, dtype=np.uint8)])
+    rows = [
+        ("a", bytearray(build_y4m(ya))),
+        ("b", bytearray(build_y4m(yb, colorspace="mono"))),
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, payload binary")
+    got = {(r.media_ref, r.frame_idx): r.feature for r in frame_sample(df, n_frames=4).collect()}
+    assert got == {
+        ("a", 0): 0.0, ("a", 1): 10.0, ("a", 3): 30.0, ("a", 4): 40.0,
+        ("b", 0): 7.0, ("b", 1): 200.0,
+    }
+
+    bad = spark.createDataFrame([("x", bytearray(b"\x00" * 64))],
+                                "media_ref string, payload binary")
+    with _pytest.raises(Exception, match="NotImplementedError|non-y4m"):
+        frame_sample(bad).collect()
+    fake = frame_sample(bad, n_frames=3, deterministic_fake=True).collect()
+    assert [r.frame_idx for r in fake] == [0, 1, 2]
+
+
 def test_pdf_length_regex_rejects_indirect_refs():
     """Multi-digit indirect refs must not backtrack into a bogus shorter
     direct match ('/Length 1234 0 R' matching as length 123)."""

@@ -34,6 +34,7 @@ def single(cpus: int, corpus: str, out_dir: str, buckets: int) -> None:
     from pyspark.sql import SparkSession
 
     from ocr_spark.pipeline.job import configure, extract, read_output
+    from ocr_spark.procstat import StealMeter
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -46,6 +47,7 @@ def single(cpus: int, corpus: str, out_dir: str, buckets: int) -> None:
     )
     spark = configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    meter = StealMeter()
     t0 = time.perf_counter()
     metrics = extract(spark, corpus, out_dir, run_id=f"scale-{cpus}", buckets=buckets)
     wall = time.perf_counter() - t0
@@ -61,6 +63,7 @@ def single(cpus: int, corpus: str, out_dir: str, buckets: int) -> None:
                 "spans": n_spans,
                 "docs_per_sec": round(n_docs / wall, 2),
                 "spans_per_sec": round(n_spans / wall, 2),
+                "steal_pct": meter.pct(),
             }
         )
     )
@@ -153,12 +156,13 @@ def _write_md(path: str, s: dict) -> None:
         f"Input: {s['input_docs']} docs / {s['input_pages']} distinct pages"
         + (" (with 3 hot media-heavy docs)" if s["skew"] else "") + ".",
         "",
-        "| run | wall s | docs/s | spans/s |",
-        "|---|---|---|---|",
+        "| run | wall s | docs/s | spans/s | steal % |",
+        "|---|---|---|---|---|",
     ]
     for r in s["runs"]:
         lines.append(
-            f"| local[{r['cpus']}] | {r['wall_s']} | {r['docs_per_sec']} | {r['spans_per_sec']} |"
+            f"| local[{r['cpus']}] | {r['wall_s']} | {r['docs_per_sec']} | "
+            f"{r['spans_per_sec']} | {r.get('steal_pct')} |"
         )
     lines += [
         "",
