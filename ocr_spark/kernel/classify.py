@@ -45,6 +45,13 @@ class Alphabet:
         self.contours = np.zeros((0, 8, n), dtype=np.int64)
         self.closest = np.zeros((0, n, n), dtype=np.int64)
 
+    def reset(self):
+        """E4: drop every learned template (CurvatureClassifier.reset,
+        :82-85 — the constructor calls it too, so a fresh instance and a
+        reset one are indistinguishable)."""
+        self.__init__(self.n)
+        return self
+
     def learn_sheet(self, gray: np.ndarray, font_name: str, alphabet: str | None = None):
         """T1: learn the fixed 13x6 font sheet grid
         (CurvatureClassifier.learn, :45-79; grid cell (71x+1, 69y+1, 69, 67)).
