@@ -26,6 +26,11 @@ def main(argv=None):
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--no-salt", action="store_true")
     ex.add_argument("--character-spacing", type=float, default=8.0)
+    ex.add_argument(
+        "--fonts", default="arial",
+        help="comma list of bundled font sheets to learn (arial,courier); "
+             "multiple fonts accumulate into one template set",
+    )
     ex.add_argument("--master", default=None, help="override master (default: from spark-submit)")
     ex.add_argument("--shuffle-partitions", type=int, default=None)
     ex.add_argument(
@@ -43,6 +48,10 @@ def main(argv=None):
     st.add_argument("--continuous", action="store_true",
                     help="keep running (default: drain available files and stop)")
     st.add_argument("--character-spacing", type=float, default=8.0)
+    st.add_argument(
+        "--fonts", default="arial",
+        help="comma list of bundled font sheets to learn (arial,courier)",
+    )
     st.add_argument("--master", default=None)
     st.add_argument("--shuffle-partitions", type=int, default=None)
 
@@ -69,6 +78,7 @@ def main(argv=None):
                 character_spacing=args.character_spacing,
                 salt=not args.no_salt,
                 partitions=args.partitions,
+                fonts=tuple(f for f in args.fonts.split(",") if f),
             )
             print(json.dumps(metrics))
         else:  # stream
@@ -82,6 +92,7 @@ def main(argv=None):
                 args.checkpoint,
                 character_spacing=args.character_spacing,
                 available_now=not args.continuous,
+                fonts=tuple(f for f in args.fonts.split(",") if f),
             )
             q.awaitTermination()
             print(json.dumps({"stream": "drained" if not args.continuous else "stopped"}))

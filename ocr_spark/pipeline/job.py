@@ -143,6 +143,7 @@ def extract_spans(
     salt: bool = True,
     partitions: int | None = None,
     pdfs: DataFrame | None = None,
+    fonts: tuple | list | None = None,
 ) -> DataFrame:
     """Logical plan for one slice of documents -> output span rows.
 
@@ -240,7 +241,7 @@ def extract_spans(
             "doc_id", "ord", "kind", F.col("out_text").alias("text"), "media_ref"
         )
 
-    ocr_udf = make_ocr_udf(character_spacing=character_spacing)
+    ocr_udf = make_ocr_udf(character_spacing=character_spacing, fonts=fonts)
     media_out = route_by_distinct_ref(
         "media", media,
         lambda pages: pages.select("media_ref", ocr_udf(F.col("png")).alias("out_text")),
@@ -303,6 +304,7 @@ def extract(
     salt: bool = True,
     partitions: int | None = None,
     fail_after: int | None = None,  # test hook: die after K bucket commits
+    fonts: tuple | list | None = None,
 ) -> dict:
     """Run the full job with bucketed idempotent commits. Returns metrics.
 
@@ -359,7 +361,7 @@ def extract(
         # driver-serial — file count, not data size, was the scaling ceiling
         out = (
             extract_spans(subset, media, character_spacing, salt=salt,
-                          partitions=partitions, pdfs=pdfs)
+                          partitions=partitions, pdfs=pdfs, fonts=fonts)
             .withColumn("bucket", (F.crc32(F.col("doc_id")) % buckets).cast("int"))
             .repartition(max(4 * len(wave), 1), "bucket", "doc_id")
         )

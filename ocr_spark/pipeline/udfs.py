@@ -20,10 +20,21 @@ from ..kernel.classify import Alphabet
 
 
 
-@functools.lru_cache(maxsize=1)
+#: font sheets bundled with the package (Java-gray canonical rasters; the
+#: reference ships the same two fonts, OCR.java / fonts/*.png)
+BUNDLED_FONTS = ("arial", "courier")
+
+
 def default_alphabet() -> Alphabet:
-    """Learn the bundled arial sheet once per process (driver or worker),
-    with a /tmp feature cache so repeat processes skip the ~1 s learn."""
+    return load_alphabet(("arial",))
+
+
+@functools.lru_cache(maxsize=4)
+def load_alphabet(fonts: tuple = ("arial",)) -> Alphabet:
+    """Learn the named bundled sheets once per process (driver or worker),
+    with a /tmp feature cache so repeat processes skip the ~1 s learn.
+    Multiple fonts accumulate into one template set, exactly the
+    reference's repeated learn() (CurvatureClassifier.java:45-79)."""
     import hashlib
 
     import numpy as np
@@ -34,7 +45,14 @@ def default_alphabet() -> Alphabet:
     # --py-files zip (plain open() fails inside a zipimported package)
     from importlib import resources
 
-    raw = resources.files("ocr_spark").joinpath("data/arial.gray.png").read_bytes()
+    for f in fonts:
+        if f not in BUNDLED_FONTS:
+            raise ValueError(f"unknown font {f!r}; bundled: {BUNDLED_FONTS}")
+    raws = [
+        (f, resources.files("ocr_spark").joinpath(f"data/{f}.gray.png").read_bytes())
+        for f in fonts
+    ]
+    raw = b"".join(f.encode() + b"\0" + r for f, r in raws)
     # per-user 0700 cache dir: a world-writable shared path would let another
     # local user pre-create the file and silently substitute features. The
     # dir name is predictable, so creation alone is not enough — verify the
@@ -56,8 +74,14 @@ def default_alphabet() -> Alphabet:
             )
     except OSError:
         pass
+    def _learn() -> Alphabet:
+        alpha = Alphabet()
+        for f, r in raws:
+            alpha.learn_sheet(decode_gray(r), f)
+        return alpha
+
     if cache is None:
-        return Alphabet().learn_sheet(decode_gray(raw), "arial")
+        return _learn()
     if os.path.exists(cache):
         try:
             z = np.load(cache, allow_pickle=False)
@@ -73,7 +97,7 @@ def default_alphabet() -> Alphabet:
             return Alphabet.from_dict(d)
         except Exception:
             pass
-    alpha = Alphabet().learn_sheet(decode_gray(raw), "arial")
+    alpha = _learn()
     try:
         d = alpha.to_dict()
         tmp = cache + f".{os.getpid()}.tmp"
@@ -109,6 +133,7 @@ def make_ocr_udf(
     lexicon: list[str] | None = None,
     lexicon_max_errors: int = 0,
     char_classes: str | None = None,
+    fonts: tuple | list | None = None,
 ):
     """OCR a batch of PNG blobs. The alphabet dict rides in the closure;
     workers rebuild the Alphabet lazily and reuse it across batches.
@@ -117,8 +142,12 @@ def make_ocr_udf(
     §2.2/§2.6): ``deskew`` (P6+P9), ``erase_lines_min_inches`` (P11),
     ``lexicon``+``lexicon_max_errors`` (L1/L2 word filter: non-matching
     words are dropped from the page text), ``char_classes`` (L3/L4 alphabet
-    subset, e.g. "0123456789" for numeric fields)."""
-    alpha_dict = (alphabet or default_alphabet()).to_dict()
+    subset, e.g. "0123456789" for numeric fields), ``fonts`` (bundled
+    sheets to accumulate, T1 multi-font — ignored when an explicit
+    ``alphabet`` is passed)."""
+    if alphabet is None:
+        alphabet = load_alphabet(tuple(fonts)) if fonts else default_alphabet()
+    alpha_dict = alphabet.to_dict()
     state: dict = {}
 
     @pandas_udf(T.StringType())

@@ -37,6 +37,7 @@ def stream_extract(
     character_spacing: float = 8.0,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    fonts: tuple | list | None = None,
 ):
     """Start (and with ``available_now`` run to completion) the streaming
     extraction over a directory of documents parquet files."""
@@ -50,7 +51,7 @@ def stream_extract(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = extract_spans(batch_df, media, character_spacing=character_spacing,
-                            pdfs=pdfs)
+                            pdfs=pdfs, fonts=fonts)
         (
             out.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -129,6 +129,92 @@ def test_two_font_page_end_to_end(sheets, settings):
         assert page_text(scan_page(p, settings, arial_only)) == w, w
 
 
+def test_load_alphabet_bundled_fonts(sheets):
+    """Pipeline-surface loader: bundled two-font learn equals the manual
+    accumulation, per-process memoization holds, unknown fonts fail fast."""
+    from ocr_spark.pipeline.udfs import load_alphabet
+
+    arial, courier = sheets
+    manual = Alphabet().learn_sheet(arial, "arial").learn_sheet(courier, "courier")
+    loaded = load_alphabet(("arial", "courier"))
+    assert loaded.chars == manual.chars
+    assert loaded.fonts == manual.fonts
+    assert (loaded.vectors == manual.vectors).all()
+    # lru memoization: same tuple -> same object, no relearn
+    assert load_alphabet(("arial", "courier")) is loaded
+    assert load_alphabet(("arial",)).fonts and set(load_alphabet(("arial",)).fonts) == {"arial"}
+    with pytest.raises(ValueError):
+        load_alphabet(("helvetica",))
+
+
+def test_extract_spans_multifont_pipeline(sheets, tmp_path):
+    """E2e through the Spark job surface: courier-rendered media pages are
+    misread by the default alphabet and read exactly with
+    fonts=('arial','courier') — the `--fonts` CLI path."""
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.pipeline.job import configure, extract_spans
+    from ocr_spark.png import encode_gray
+
+    arial, courier = sheets
+    cg = _glyphs(courier)
+    words = COURIER_ONLY_WORDS[:4]
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    media = pa.table(
+        {
+            "media_ref": [f"cpg-{i}" for i in range(len(words))],
+            "png": pa.array(
+                [encode_gray(_render_mixed([(w, cg)])) for w in words], pa.binary()
+            ),
+        }
+    )
+    span_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    docs = pa.table(
+        {
+            "doc_id": [f"d-{i}" for i in range(len(words))],
+            "spans": pa.array(
+                [[{"kind": "media", "text": None, "media_ref": f"cpg-{i}", "offset": 0}]
+                 for i in range(len(words))],
+                pa.list_(span_type),
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    pq.write_table(media, str(tmp_path / "media.parquet"))
+
+    builder = (
+        SparkSession.builder.master("local[2]")
+        .appName("ocr_spark-multifont")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = configure(builder).getOrCreate()
+    try:
+        docs_df = spark.read.parquet(str(tmp_path / "documents.parquet"))
+        media_df = spark.read.parquet(str(tmp_path / "media.parquet"))
+        got_multi = {
+            (r.media_ref, r.text)
+            for r in extract_spans(
+                docs_df, media_df, fonts=("arial", "courier"), partitions=2
+            ).collect()
+        }
+        got_default = {
+            (r.media_ref, r.text)
+            for r in extract_spans(docs_df, media_df, partitions=2).collect()
+        }
+    finally:
+        spark.stop()
+    truth = {(f"cpg-{i}", w) for i, w in enumerate(words)}
+    assert got_multi == truth
+    assert got_default != truth  # courier shapes genuinely needed
+
+
 def test_reset_restores_single_font_behavior(sheets, settings):
     arial, courier = sheets
     ag, cg = _glyphs(arial), _glyphs(courier)

@@ -16,5 +16,6 @@ import zipfile
 z = zipfile.ZipFile("dist/ocr_spark.zip")
 names = z.namelist()
 assert "ocr_spark/cli.py" in names and "ocr_spark/data/arial.gray.png" in names
+assert "ocr_spark/data/courier.gray.png" in names  # --fonts courier must work from the zip
 print(f"dist/ocr_spark.zip: {len(names)} entries")
 EOF
