@@ -755,6 +755,266 @@ def _q_nations_except(spark, sf_dir):
     return c.subtract(s)  # set semantics, same as SQL EXCEPT
 
 
+def _q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two named nations by
+    ship year. The 2-row nation filter is pushed into BOTH dimension joins
+    before the fact join (at web scale this semi-reduces supplier/customer
+    ~12x before any lineitem shuffle); the disjunctive pair predicate runs
+    on the already-joined names. Supplier side broadcast; customer side left
+    to AQE (it is 8% of a big dim — broadcast at small SF, shuffle at scale)."""
+    _utc(spark)
+    dec = "decimal(18,2)"
+    nf = _read(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s2 = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nf.select(F.col("n_nationkey").alias("sn"),
+                                  F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c2 = (
+        _read(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nf.select(F.col("n_nationkey").alias("cn"),
+                                  F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cn"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        (F.col("l_extendedprice").cast(dec)
+         * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c2, o.o_custkey == c2.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold into
+    one region, by order year. Share = conditional DECIMAL sum over total
+    DECIMAL sum, divided once in DOUBLE (order-independent on both engines).
+    part and supplier-nation dims broadcast; region restriction semi-reduces
+    customer before the fact join."""
+    _utc(spark)
+    dec = "decimal(18,2)"
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("crn")
+    )
+    c = (
+        _read(spark, sf_dir, "customer")
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("crn"))
+        .select("c_custkey")
+    )
+    o = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    p = _read(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    sn = (
+        _read(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice").cast(dec)
+         * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("rev"))
+                    .otherwise(F.lit(0).cast(dec))
+                ).cast("double")
+                / F.sum("rev").cast("double")
+            ).alias("mkt_share"),
+            F.sum("rev").cast("double").alias("total_rev"),
+        )
+    )
+
+
+def _q_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count, with the
+    filter living in the OUTER join condition (not a WHERE — zero-order
+    customers must survive). Two cascaded hash-aggs; the second groups on
+    the tiny c_count domain."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    o = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def _q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    scalar-subquery-equality decorrelated into a 1-row broadcast join.
+    The equality compares exact DECIMAL(18,2) sums (safe; a DOUBLE-sum
+    equality would be summation-order-dependent), cast to DOUBLE only on
+    output."""
+    dec = "decimal(18,2)"
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select(
+        "l_suppkey",
+        (F.col("l_extendedprice").cast(dec)
+         * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum("rev").alias("total_rev_dec"))
+    mx = revenue.agg(F.max("total_rev_dec").alias("mx"))
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_rev_dec == mx.mx)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def _q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over the fact table), joined back to order/customer detail.
+    The heavy agg runs FIRST on (l_orderkey) alone — the join-back sees only
+    the tiny qualifying set, so customer arrives by broadcast at any scale."""
+    _utc(spark)
+    dec = "decimal(18,2)"
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast(dec).alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("sum_qty_dec"))
+        .where(F.col("sum_qty_dec") > 250)
+    )
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def _q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size, quantity)
+    conjunct groups. The disjunction references both sides of the join, so
+    it cannot be pushed below it — but the per-side prunable parts (brand
+    membership, quantity hull) are pre-filtered to keep the join small."""
+    dec = "decimal(18,2)"
+    brands = ("Brand#11", "Brand#12", "Brand#13")
+    p = _read(spark, sf_dir, "part").where(F.col("p_brand").isin(*brands)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    ).select(
+        "l_partkey", "l_quantity",
+        (F.col("l_extendedprice").cast(dec)
+         * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
+    )
+    cond = (
+        ((F.col("p_brand") == brands[0]) & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == brands[1]) & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == brands[2]) & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance and no
+    RECENT orders (none since 2000-07-01; every customer has *some* order in
+    this corpus), counted per nation — scalar AVG subquery (decorrelated to
+    a 1-row broadcast) + anti join. The AVG is an exact DECIMAL sum divided
+    once in DOUBLE, so both engines compute the identical threshold. The
+    date filter is pushed into the anti-join build side, shrinking it ~4x
+    before the shuffle."""
+    _utc(spark)
+    dec = "decimal(18,2)"
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(dec)).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal")
+    )
+    o = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(dec)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def _q_lsh_jaccard_est(spark, sf_dir):
     """MinHash band agreement as a Jaccard estimator, joined against the
     true n-gram Jaccard for every candidate pair — the dedup quality gauge.
@@ -1118,6 +1378,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_balance": _q_nation_trade_balance,
         "nations_intersect": _q_nations_intersect,
         "nations_except": _q_nations_except,
+        "q7_volume_shipping": _q_volume_shipping,
+        "q8_market_share": _q_market_share,
+        "q13_order_distribution": _q_order_distribution,
+        "q15_top_supplier": _q_top_supplier,
+        "q18_large_orders": _q_large_orders,
+        "q19_disjunctive_revenue": _q_disjunctive_revenue,
+        "q22_idle_customers": _q_idle_customers,
     }
 
 
@@ -1601,6 +1868,108 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
             EXCEPT
             SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        """,
+        "q7_volume_shipping": f"""
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM({rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            WITH vol AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       {rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS rev,
+                       sn.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                                 ELSE CAST(0 AS {dec}) END) AS DOUBLE)
+                       / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+                   CAST(SUM(rev) AS DOUBLE) AS total_rev
+            FROM vol GROUP BY o_year
+        """,
+        "q13_order_distribution": """
+            SELECT c_count, COUNT(*)::BIGINT AS custdist
+            FROM (
+                SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+                FROM customer c
+                LEFT OUTER JOIN orders o
+                  ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "q15_top_supplier": f"""
+            WITH revenue AS (
+                SELECT l_suppkey, SUM({rev}) AS total_rev_dec
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_rev_dec AS DOUBLE) AS total_revenue
+            FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
+        """,
+        "q18_large_orders": f"""
+            WITH big AS (
+                SELECT l_orderkey, SUM(CAST(l_quantity AS {dec})) AS sum_qty_dec
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS {dec})) > 250
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   o.o_totalprice,
+                   CAST(b.sum_qty_dec AS DOUBLE) AS sum_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT CAST(SUM({rev.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE ((p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+                    AND l.l_quantity BETWEEN 1 AND 11)
+                OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+                    AND l.l_quantity BETWEEN 10 AND 20)
+                OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+                    AND l.l_quantity BETWEEN 20 AND 30))
+        """,
+        "q22_idle_customers": f"""
+            SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+                   COUNT(*)::BIGINT AS numcust,
+                   CAST(SUM(CAST(c.c_acctbal AS {dec})) AS DOUBLE) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (
+                    SELECT CAST(SUM(CAST(c_acctbal AS {dec})) AS DOUBLE) / COUNT(*)
+                    FROM customer WHERE c_acctbal > 0
+                  )
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+            GROUP BY c.c_nationkey
         """,
         "lsh_jaccard_est": f"""
             WITH sh0 AS ({_SQL_SHINGLES}),
