@@ -765,7 +765,7 @@ def _q_volume_shipping(spark, sf_dir):
     _utc(spark)
     dec = "decimal(18,2)"
     nf = _read(spark, sf_dir, "nation").where(
-        F.col("n_name").isin("NATION_1", "NATION_2")
+        F.col("n_name").isin("NATION_13", "NATION_19")
     )
     s2 = (
         _read(spark, sf_dir, "supplier")
@@ -796,8 +796,8 @@ def _q_volume_shipping(spark, sf_dir):
     )
     o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pair = (
-        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13"))
     )
     return (
         li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
@@ -1882,8 +1882,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation cn ON c.c_nationkey = cn.n_nationkey
             WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+              AND ((sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+                OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13'))
             GROUP BY 1, 2, 3
         """,
         "q8_market_share": f"""
