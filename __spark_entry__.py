@@ -1015,6 +1015,140 @@ def _q_idle_customers(spark, sf_dir):
     )
 
 
+def _q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no l_receiptdate/l_commitdate in this corpus,
+    so the "problem" marker is l_returnflag = 'R'): suppliers who were the
+    SOLE returned-goods supplier on a multi-supplier finished order. The
+    classic EXISTS + NOT EXISTS pair of lineitem self-joins is collapsed into
+    ONE per-order profile agg — n_supp = COUNT(DISTINCT l_suppkey),
+    n_flagged = COUNT(DISTINCT flagged supplier) — computed in a single pass
+    that rides the same l_orderkey exchange the join-back needs; at 100 TB
+    that is one fact-table shuffle instead of three (the DuckDB twin keeps
+    the textbook correlated form to prove the rewrite's equivalence)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    prof = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_flagged"),
+    ).where((F.col("n_supp") > 1) & (F.col("n_flagged") == 1))
+    o = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(prof, "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+def _q_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: this corpus has no partsupp, so the unit cost
+    proxy is p_retailprice): profit = Σ(extprice·(1−disc) − retailprice·qty)
+    per supplier nation per order year. Exact DECIMAL products/sums on both
+    engines, one DOUBLE cast on output. part is the only selective dim and
+    is broadcast; supplier→nation folds to a broadcast name lookup; the fact
+    rows shuffle once for the orders join and once for the final small agg."""
+    _utc(spark)
+    dec = "decimal(18,2)"
+    p = _read(spark, sf_dir, "part").where(
+        F.col("p_name").contains("red")
+    ).select("p_partkey", F.col("p_retailprice").cast(dec).alias("p_cost"))
+    sn = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_read(spark, sf_dir, "nation")
+                        .select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice").cast(dec)
+         * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
+        F.col("l_quantity").cast(dec).alias("qty"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum(F.col("rev") - F.col("p_cost") * F.col("qty"))
+            .cast("double").alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def _q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted to the fact table: no partsupp): parts whose
+    revenue exceeds 1.5x the MEAN part revenue — a group agg HAVING against a
+    decorrelated global scalar. Scale-invariant by construction (a fixed
+    fraction-of-total threshold goes vacuous as the part count grows). Both
+    sums are exact DECIMAL; each side is cast to DOUBLE once and the
+    threshold arithmetic (1.5 * total / n) runs in DOUBLE in the same order
+    on both engines, so the comparison is bit-identical. The global scalar is
+    a 1-row broadcast (never a shuffle); the per-part agg is the only fact
+    shuffle."""
+    dec = "decimal(18,2)"
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast(dec)
+         * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("part_rev_dec"))
+    total = per_part.agg(
+        F.sum("part_rev_dec").cast("double").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(
+            F.col("part_rev_dec").cast("double")
+            > F.lit(1.5) * F.col("total_rev") / F.col("n_parts")
+        )
+        .select(
+            "l_partkey",
+            F.col("part_rev_dec").cast("double").alias("part_revenue"),
+        )
+    )
+
+
+def _q_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: the part↔supplier relation comes from
+    lineitem instead of partsupp): distinct-supplier count per (p_brand,
+    p_type, p_size) for small parts, excluding a NOT-IN supplier blacklist
+    (here: name ends in '7', the stand-in for the comment-LIKE complaint
+    filter). The blacklist is a broadcast anti-join (its NULL-free key set
+    makes NOT IN ≡ anti join); the count-distinct rides one exchange keyed
+    on the group columns after the part dim broadcast."""
+    p = _read(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 20) & (F.col("p_brand") != "Brand#45")
+    ).select("p_partkey", "p_brand", "p_type",
+             F.col("p_size").cast("long").alias("p_size"))
+    bad = _read(spark, sf_dir, "supplier").where(
+        F.col("s_name").endswith("7")
+    ).select("s_suppkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
 def _q_lsh_jaccard_est(spark, sf_dir):
     """MinHash band agreement as a Jaccard estimator, joined against the
     true n-gram Jaccard for every candidate pair — the dedup quality gauge.
@@ -1385,6 +1519,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q_large_orders,
         "q19_disjunctive_revenue": _q_disjunctive_revenue,
         "q22_idle_customers": _q_idle_customers,
+        "q21_waiting_suppliers": _q_waiting_suppliers,
+        "q9_profit_by_nation": _q_profit_by_nation,
+        "q11_important_parts": _q_important_parts,
+        "q16_supplier_counts": _q_supplier_counts,
     }
 
 
@@ -1970,6 +2108,62 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
             GROUP BY c.c_nationkey
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+            FROM lineitem l1
+            JOIN orders o ON l1.l_orderkey = o.o_orderkey
+                         AND o.o_orderstatus = 'F'
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s.s_name
+        """,
+        "q9_profit_by_nation": f"""
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(
+                       CAST(l.l_extendedprice AS {dec})
+                         * (CAST(1 AS {dec}) - CAST(l.l_discount AS {dec}))
+                       - CAST(p.p_retailprice AS {dec})
+                         * CAST(l.l_quantity AS {dec})
+                   ) AS DOUBLE) AS profit,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+                       AND p.p_name LIKE '%red%'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        """,
+        "q11_important_parts": f"""
+            WITH per_part AS (
+                SELECT l_partkey, SUM({rev}) AS part_rev_dec
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(part_rev_dec AS DOUBLE) AS part_revenue
+            FROM per_part
+            WHERE CAST(part_rev_dec AS DOUBLE)
+                  > 1.5 * (SELECT CAST(SUM(part_rev_dec) AS DOUBLE)
+                           FROM per_part)
+                        / (SELECT COUNT(*) FROM per_part)
+        """,
+        "q16_supplier_counts": """
+            SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                   COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size <= 20 AND p.p_brand <> 'Brand#45'
+              AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_name LIKE '%7')
+            GROUP BY 1, 2, 3
         """,
         "lsh_jaccard_est": f"""
             WITH sh0 AS ({_SQL_SHINGLES}),

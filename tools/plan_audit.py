@@ -24,7 +24,11 @@ AUDIT = ["q1_pricing_summary","q3_order_revenue","q5_nation_volume","brand_volum
          "simhash_near_dups","emb_dedup_survivors","events_range_clicks",
          "top_parts_per_type",
          "doc_pii_redact","doc_repetition","q10_returned_customers",
-         "doc_split_counts","doc_sample_10pct"]
+         "doc_split_counts","doc_sample_10pct",
+         "q7_volume_shipping","q8_market_share","q13_order_distribution",
+         "q15_top_supplier","q18_large_orders","q19_disjunctive_revenue",
+         "q22_idle_customers","q21_waiting_suppliers","q9_profit_by_nation",
+         "q11_important_parts","q16_supplier_counts"]
 q = e.queries()
 for name in AUDIT:
     df = q[name](spark, SF)
