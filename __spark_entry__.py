@@ -1100,14 +1100,21 @@ def _q_important_parts(spark, sf_dir):
     threshold arithmetic (1.5 * total / n) runs in DOUBLE in the same order
     on both engines, so the comparison is bit-identical. The global scalar is
     a 1-row broadcast (never a shuffle); the per-part agg is the only fact
-    shuffle."""
+    shuffle. per_part feeds two consumers (the probe side and the global
+    scalar); without reuse Spark would rebuild the full lineitem scan + agg
+    for each — persist_if_large caches it when the source is big enough to
+    matter (the same size-adaptive rule the shingle subtree uses)."""
+    from ocr_spark.functions.dedup import persist_if_large
+
     dec = "decimal(18,2)"
     li = _read(spark, sf_dir, "lineitem").select(
         "l_partkey",
         (F.col("l_extendedprice").cast(dec)
          * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))).alias("rev"),
     )
-    per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("part_rev_dec"))
+    per_part = persist_if_large(
+        li.groupBy("l_partkey").agg(F.sum("rev").alias("part_rev_dec"))
+    )
     total = per_part.agg(
         F.sum("part_rev_dec").cast("double").alias("total_rev"),
         F.count(F.lit(1)).alias("n_parts"),
@@ -1130,9 +1137,12 @@ def _q_supplier_counts(spark, sf_dir):
     lineitem instead of partsupp): distinct-supplier count per (p_brand,
     p_type, p_size) for small parts, excluding a NOT-IN supplier blacklist
     (here: name ends in '7', the stand-in for the comment-LIKE complaint
-    filter). The blacklist is a broadcast anti-join (its NULL-free key set
-    makes NOT IN ≡ anti join); the count-distinct rides one exchange keyed
-    on the group columns after the part dim broadcast."""
+    filter). The blacklist is a broadcast anti-join: NOT IN ≡ anti join only
+    when BOTH key sides are NULL-free (a NULL left key survives a left_anti
+    but makes SQL's NOT IN evaluate to NULL and drop the row), so the left
+    key is explicitly filtered non-NULL on both engines rather than relying
+    on the fixture having no NULLs. The count-distinct rides one exchange
+    keyed on the group columns after the part dim broadcast."""
     p = _read(spark, sf_dir, "part").where(
         (F.col("p_size") <= 20) & (F.col("p_brand") != "Brand#45")
     ).select("p_partkey", "p_brand", "p_type",
@@ -1140,7 +1150,9 @@ def _q_supplier_counts(spark, sf_dir):
     bad = _read(spark, sf_dir, "supplier").where(
         F.col("s_name").endswith("7")
     ).select("s_suppkey")
-    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_suppkey").isNotNull()
+    ).select("l_partkey", "l_suppkey")
     return (
         li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -2161,6 +2173,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             WHERE p.p_size <= 20 AND p.p_brand <> 'Brand#45'
+              AND l.l_suppkey IS NOT NULL
               AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                       WHERE s_name LIKE '%7')
             GROUP BY 1, 2, 3
