@@ -1161,6 +1161,51 @@ def _q_supplier_counts(spark, sf_dir):
     )
 
 
+def _q_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp/availqty in this corpus):
+    suppliers who concentrated more than half of their lifetime shipped
+    quantity of some repeatedly-shipped (>= 3 lines) 'red' part into one
+    year — the nested semi-join chain (supplier ⋉ qualifying (supp, part)
+    pairs over name-filtered parts) with the correlated per-pair threshold
+    decorrelated into conditional sums inside ONE (l_suppkey, l_partkey)
+    agg: the year sum and the lifetime sum ride the same exchange, so the
+    whole qualification costs a single fact shuffle and the final semi-join
+    probes only qualifying suppliers. Ratio compared in DOUBLE after exact
+    DECIMAL sums on both engines."""
+    _utc(spark)
+    dec = "decimal(18,2)"
+    pr = _read(spark, sf_dir, "part").where(
+        F.col("p_name").contains("red")
+    ).select("p_partkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_shipdate",
+        F.col("l_quantity").cast(dec).alias("qty"),
+    )
+    in96 = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(F.broadcast(pr), li.l_partkey == pr.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("nl"),
+            F.sum(F.when(in96, F.col("qty"))
+                  .otherwise(F.lit(0).cast(dec))).alias("q96"),
+            F.sum("qty").alias("qall"),
+        )
+        .where(
+            (F.col("nl") >= 3)
+            & (F.col("q96").cast("double")
+               > F.lit(0.5) * F.col("qall").cast("double"))
+        )
+        .select("l_suppkey")
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(qualifying, s.s_suppkey == qualifying.l_suppkey,
+                  "left_semi")
+
+
 def _q_lsh_jaccard_est(spark, sf_dir):
     """MinHash band agreement as a Jaccard estimator, joined against the
     true n-gram Jaccard for every candidate pair — the dedup quality gauge.
@@ -1535,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_profit_by_nation": _q_profit_by_nation,
         "q11_important_parts": _q_important_parts,
         "q16_supplier_counts": _q_supplier_counts,
+        "q20_excess_shippers": _q_excess_shippers,
     }
 
 
@@ -2166,6 +2212,26 @@ def oracle_sql() -> dict[str, str]:
                   > 1.5 * (SELECT CAST(SUM(part_rev_dec) AS DOUBLE)
                            FROM per_part)
                         / (SELECT COUNT(*) FROM per_part)
+        """,
+        "q20_excess_shippers": f"""
+            WITH per AS (
+                SELECT l_suppkey, l_partkey, COUNT(*) AS nl,
+                       SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                 AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                                THEN CAST(l_quantity AS {dec})
+                                ELSE CAST(0 AS {dec}) END) AS q96,
+                       SUM(CAST(l_quantity AS {dec})) AS qall
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE '%red%')
+                GROUP BY 1, 2
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            WHERE s.s_suppkey IN (
+                SELECT l_suppkey FROM per
+                WHERE nl >= 3
+                  AND CAST(q96 AS DOUBLE) > 0.5 * CAST(qall AS DOUBLE))
         """,
         "q16_supplier_counts": """
             SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
