@@ -1206,6 +1206,61 @@ def _q_excess_shippers(spark, sf_dir):
                   "left_semi")
 
 
+def _q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp in this corpus, so the supply
+    relation comes from lineitem and the pair supply cost is the cheapest
+    line price MIN(l_extendedprice) — a pure DECIMAL MIN, no arithmetic to
+    diverge between engines): for STANDARD parts of size <= 15, the EUROPE
+    supplier(s) achieving the minimum supply cost of each part. The textbook
+    correlated min-cost subquery (reference Q2 form, kept verbatim in the
+    DuckDB twin so the hash match proves the rewrite — same recipe as
+    _q_excess_shippers) is decorrelated into a per-part MIN window over the
+    region-filtered pair costs: one window exchange keyed on p_partkey. The
+    (supplier, part) pair agg is the only fact shuffle; part and the
+    supplier⋈nation⋈region dim chain broadcast."""
+    from pyspark.sql import Window
+
+    dec = "decimal(18,2)"
+    ps = (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast(dec)).alias("cost"))
+    )
+    p = _read(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    sn = (
+        _read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_read(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _read(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    pairs = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), ps.l_suppkey == sn.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pairs.withColumn("min_cost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("min_cost"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "nation",
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
 def _q_lsh_jaccard_est(spark, sf_dir):
     """MinHash band agreement as a Jaccard estimator, joined against the
     true n-gram Jaccard for every candidate pair — the dedup quality gauge.
@@ -1501,12 +1556,45 @@ def _q_frame_sample(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is deliberate: the driver may verify only a prefix of
-    # this dict (round 3 sampled the first 50), so the highest-value queries
-    # — the flagship extraction pipeline, the media decode paths, and the
-    # embedding/ANN operators — come FIRST. The commodity TPC-H shapes at the
-    # tail have been driver-green in two consecutive rounds already and are
-    # still covered by the parametrized pytest oracle suite every run.
+    # this dict (rounds 3 and 4 each sampled the first 50), so queries that
+    # have NEVER had a driver CORRECTNESS row come FIRST this round — the 24
+    # round-4 tail entries (all 12 round-4 TPC-H adaptations included) plus
+    # this round's new q2 shape. The flagship extraction/media/embedding
+    # queries rotate to the tail: they are driver-green in two consecutive
+    # rounds (CORRECTNESS_r03/r04) and the parametrized pytest oracle suite
+    # still value-hash-checks every entry every run. bench.py emits this
+    # order as `registry_order` in the bench artifact so a driver sampling
+    # change is diagnosable from artifacts alone (VERDICT r04 #7).
     return {
+        # --- never driver-verified (rotated into the verification prefix) ---
+        "q2_min_cost_supplier": _q_min_cost_supplier,
+        "q1_rollup": _q_rollup,
+        "q1_cube": _q_cube,
+        "segment_totals": _q_segment_totals,
+        "q14_promo_revenue": _q_promo_revenue,
+        "q12_priority_lines": _q_priority_lines,
+        "q6_forecast_revenue": _q_forecast_revenue,
+        "q4_order_priority": _q_order_priority,
+        "q17_small_qty_revenue": _q_small_qty_revenue,
+        "nation_trade_balance": _q_nation_trade_balance,
+        "nations_intersect": _q_nations_intersect,
+        "nations_except": _q_nations_except,
+        "q7_volume_shipping": _q_volume_shipping,
+        "q8_market_share": _q_market_share,
+        "q13_order_distribution": _q_order_distribution,
+        "q15_top_supplier": _q_top_supplier,
+        "q18_large_orders": _q_large_orders,
+        "q19_disjunctive_revenue": _q_disjunctive_revenue,
+        "q22_idle_customers": _q_idle_customers,
+        "q21_waiting_suppliers": _q_waiting_suppliers,
+        "q9_profit_by_nation": _q_profit_by_nation,
+        "q11_important_parts": _q_important_parts,
+        "q16_supplier_counts": _q_supplier_counts,
+        "q20_excess_shippers": _q_excess_shippers,
+        # brand_volume was in r03/r04's verified prefix but is cheap; keep it
+        # adjacent to its TPC-H siblings rather than splitting the family.
+        "brand_volume": _q_brand_volume,
+        # --- driver-green in r03 AND r04 (CORRECTNESS_r03/r04.json) ---
         "ocr_extract_spans": _q_ocr_extract,
         "ocr_extract_interleaved3": _q_ocr_extract3,
         "media_image_features": _q_image_features,
@@ -1557,30 +1645,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_volume": _q_nation_volume,
         "q10_returned_customers": _q_returned_customers,
         "top_parts_per_type": _q_top_parts_per_type,
-        "q1_rollup": _q_rollup,
-        "q1_cube": _q_cube,
-        "segment_totals": _q_segment_totals,
-        "brand_volume": _q_brand_volume,
-        "q14_promo_revenue": _q_promo_revenue,
-        "q12_priority_lines": _q_priority_lines,
-        "q6_forecast_revenue": _q_forecast_revenue,
-        "q4_order_priority": _q_order_priority,
-        "q17_small_qty_revenue": _q_small_qty_revenue,
-        "nation_trade_balance": _q_nation_trade_balance,
-        "nations_intersect": _q_nations_intersect,
-        "nations_except": _q_nations_except,
-        "q7_volume_shipping": _q_volume_shipping,
-        "q8_market_share": _q_market_share,
-        "q13_order_distribution": _q_order_distribution,
-        "q15_top_supplier": _q_top_supplier,
-        "q18_large_orders": _q_large_orders,
-        "q19_disjunctive_revenue": _q_disjunctive_revenue,
-        "q22_idle_customers": _q_idle_customers,
-        "q21_waiting_suppliers": _q_waiting_suppliers,
-        "q9_profit_by_nation": _q_profit_by_nation,
-        "q11_important_parts": _q_important_parts,
-        "q16_supplier_counts": _q_supplier_counts,
-        "q20_excess_shippers": _q_excess_shippers,
     }
 
 
@@ -2232,6 +2296,30 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_suppkey FROM per
                 WHERE nl >= 3
                   AND CAST(q96 AS DOUBLE) > 0.5 * CAST(qall AS DOUBLE))
+        """,
+        "q2_min_cost_supplier": f"""
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(CAST(l_extendedprice AS {dec})) AS cost
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name,
+                   n.n_name AS nation, CAST(p.p_partkey AS BIGINT) AS p_partkey,
+                   CAST(ps.cost AS DOUBLE) AS supply_cost
+            FROM part p, supplier s, nation n, region r, ps
+            WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND r.r_name = 'EUROPE'
+              AND p.p_size <= 15 AND p.p_type = 'STANDARD'
+              AND ps.cost = (
+                  SELECT MIN(ps2.cost)
+                  FROM ps ps2, supplier s2, nation n2, region r2
+                  WHERE ps2.l_partkey = p.p_partkey
+                    AND s2.s_suppkey = ps2.l_suppkey
+                    AND s2.s_nationkey = n2.n_nationkey
+                    AND n2.n_regionkey = r2.r_regionkey
+                    AND r2.r_name = 'EUROPE')
         """,
         "q16_supplier_counts": """
             SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,

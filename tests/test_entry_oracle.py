@@ -89,9 +89,14 @@ EXPECTED_EMPTY = {"dedup_exact", "nations_except"}
 
 
 def test_oracle_covers_queries():
-    q = entrymod.queries()
-    missing = set(entrymod.oracle_sql()) - set(q)
-    assert not missing, f"oracle_sql keys without queries(): {missing}"
+    """Bidirectional registry/oracle coverage (VERDICT r04 #7): an oracle
+    without a query is dead SQL; a query without an oracle silently drops to
+    the driver's weaker rows-only check. Every genuinely non-SQL-expressible
+    op must be listed here explicitly (none exist today)."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert not o - q, f"oracle_sql keys without queries(): {o - q}"
+    assert not q - o, f"queries() keys without oracle_sql twin: {q - o}"
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
