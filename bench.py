@@ -93,12 +93,17 @@ def main() -> None:
     times: dict[str, float] = {}
     steal: dict[str, float | None] = {}
     run_meter = StealMeter()
+    from ocr_spark.functions.dedup import release_persisted
+
     for name in HEADLINE:
         m = StealMeter()
         t0 = time.perf_counter()
         _force(qmap[name](spark, SF_DIR))
         times[name] = round(time.perf_counter() - t0, 3)
         steal[name] = m.pct()
+        # drop any persist_if_large caches the leg installed: no later leg
+        # reuses them, and leaked InMemoryRelations would skew memory headroom
+        release_persisted()
 
     # flagship extraction throughput (corpus cached; synth excluded from timing)
     corpus = os.path.join(
@@ -154,6 +159,10 @@ def main() -> None:
                 "extract3_docs_per_sec": round(EXTRACT_DOCS / extract3_s, 2),
                 "steal_pct": run_meter.pct(),
                 "steal_pct_per_query": steal,
+                # the driver verifies a PREFIX of the registry (50 entries in
+                # rounds 3-4); recording the order here makes any sampling
+                # change diagnosable from the artifacts alone (VERDICT r04 #7)
+                "registry_order": list(qmap),
             }
         )
     )

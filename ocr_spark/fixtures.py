@@ -419,7 +419,12 @@ def write_corpus(out_dir: str, n_docs: int, n_pages: int, skew: bool = False,
     pq.write_table(audio, os.path.join(out_dir, "audio.parquet"), row_group_size=512)
     pq.write_table(pdfs, os.path.join(out_dir, "pdfs.parquet"), row_group_size=512)
     pq.write_table(pdf_expected, os.path.join(out_dir, "pdf_expected.parquet"))
-    videos, video_expected = synthesize_videos(max(8, n_pages // 2), seed=seed)
+    # capped at a small constant, NOT scaled with n_pages: the tiny corpus
+    # (30 clips) is the only consumer (video_frame_sample); letting clip
+    # count track page count made the 240k-page scaling corpus synthesize
+    # ~120k y4m blobs (GBs of random bytes) no leg ever read (ADVICE r04).
+    # tiny stays below the cap, so its fixture bytes are unchanged.
+    videos, video_expected = synthesize_videos(min(32, max(8, n_pages // 2)), seed=seed)
     pq.write_table(videos, os.path.join(out_dir, "videos.parquet"), row_group_size=64)
     pq.write_table(video_expected, os.path.join(out_dir, "video_expected.parquet"))
     return documents.num_rows, media.num_rows, expected.num_rows

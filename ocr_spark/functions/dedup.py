@@ -19,9 +19,13 @@ same md5/token conventions (see functions/text.py header).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import tokens
+
+_LOG = logging.getLogger(__name__)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -154,7 +158,10 @@ REUSE_MIN_SOURCE_BYTES = 1 << 30
 
 def _source_bytes(df: DataFrame, cap: int) -> int:
     """Total bytes of the frame's backing files (early-stop at ``cap``);
-    0 for non-file-backed inputs (unknown — treated as small)."""
+    0 for non-file-backed inputs (unknown — treated as small). A sizing
+    FAILURE (filesystem error) is logged before falling back to 0 —
+    silently treating a huge source as small would quietly disable reuse
+    and triple the corpus I/O with no trace in any log."""
     files = df.inputFiles()
     if not files:
         return 0
@@ -167,9 +174,38 @@ def _source_bytes(df: DataFrame, cap: int) -> int:
             total += fs.getFileStatus(p).getLen()
             if total >= cap:
                 return total
-    except Exception:
+    except Exception as exc:
+        _LOG.warning(
+            "source sizing failed (%s: %s) — treating frame as small, "
+            "subtree reuse disabled for this call", type(exc).__name__, exc
+        )
         return 0
     return total
+
+
+# Handles installed by persist_if_large, oldest first. Bounded: installing
+# beyond _PERSIST_CAP evicts (unpersists) the oldest handle, so a long-lived
+# session accumulates at most _PERSIST_CAP InMemoryRelations from this path
+# instead of one per call forever (ADVICE r04). The cap is safe because every
+# caller persists immediately before the consuming action — by the time 4
+# newer persists exist, the old frame's action has long finished.
+_PERSIST_CAP = 4
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> int:
+    """Unpersist every frame persist_if_large installed and return how many
+    were released. Call after the consuming action when the caller knows the
+    cache won't be reused (e.g. between bench legs)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped: nothing left to release
+    return n
 
 
 def persist_if_large(df: DataFrame, threshold: int = REUSE_MIN_SOURCE_BYTES) -> DataFrame:
@@ -177,9 +213,20 @@ def persist_if_large(df: DataFrame, threshold: int = REUSE_MIN_SOURCE_BYTES) -> 
     when its backing source is big enough that recomputing the subtree per
     consumer costs more than materializing it once (see
     REUSE_MIN_SOURCE_BYTES for the measured crossover). Same
-    metadata-only sizing idea as pipeline.job._scan_width_estimate."""
+    metadata-only sizing idea as pipeline.job._scan_width_estimate.
+
+    Installed caches are tracked in a bounded FIFO (``_PERSIST_CAP``):
+    the oldest entry is unpersisted when the cap is exceeded, and
+    ``release_persisted()`` drops them all eagerly."""
     if _source_bytes(df, threshold) >= threshold:
-        return df.persist()
+        df = df.persist()
+        _PERSISTED.append(df)
+        if len(_PERSISTED) > _PERSIST_CAP:
+            old = _PERSISTED.pop(0)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # already unpersisted / session gone
     return df
 
 

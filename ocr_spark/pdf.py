@@ -33,7 +33,12 @@ _STREAM_HEAD = re.compile(rb"(?<!end)stream\r?\n")
 # backtracking can't shorten '1234' to '123' to sneak past the
 # indirect-ref lookahead
 _LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
-_ENDSTREAM_AT = re.compile(rb"\s*endstream")
+# generous finite pad tolerance (writers emit 1-2 EOL bytes; 1 KiB covers
+# any real padding) rather than unbounded: an UNDERCOUNTING /Length whose
+# omitted tail happens to be pure whitespace would otherwise be silently
+# accepted and the stream truncated at the wrong declared length, where the
+# capped form falls back to the endstream scan and recovers the full body
+_ENDSTREAM_AT = re.compile(rb"\s{0,1024}endstream")
 _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # ( ... ) with escaped chars, followed by the operator
 _TJ_ONE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')")
@@ -117,11 +122,9 @@ def _iter_streams(pdf: bytes):
         if lm is not None:
             end = body_start + int(lm.group(1))
             # trust /Length only if endstream actually follows the slice —
-            # any run of EOL/pad whitespace before the keyword is tolerated
-            # (no byte cap: the regex is anchored at `end`, so an arbitrary
-            # pad costs one linear whitespace scan, and capping it would
-            # silently reject a CORRECT /Length and fall back to the
-            # truncation-prone first-endstream scan)
+            # a run of EOL/pad whitespace before the keyword is tolerated up
+            # to the _ENDSTREAM_AT cap (see its comment for why the
+            # tolerance is finite)
             em = _ENDSTREAM_AT.match(pdf, end) if end <= n else None
             if em is not None:
                 body_end = end

@@ -245,6 +245,17 @@ def stream_sessionize_stateful(events_stream: DataFrame, gap_s: int = 1800) -> D
     time into a gap-separated interval list (see
     ``_merge_session_intervals``), so a hot key holds O(#sessions) ints,
     never the micro-batch's rows.
+
+    Late-data contract (no watermark — the operator sessionizes on the TIME
+    AXIS, not arrival order): a late event landing within ``gap_s`` of any
+    known interval extends/merges that interval; a late event older than
+    the open session's start AND gap-separated from it becomes its own
+    earlier session and is emitted closed as soon as a later interval
+    exists. Pre-round-5 behavior folded every late event into the open
+    session regardless of distance, silently stretching sessions across
+    gaps; the interval-merge form keeps output equal to batch sessionize
+    over the union of all arrived events (pinned by
+    tests/test_streaming.py::test_stateful_sessionize_cross_batch_late_events).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

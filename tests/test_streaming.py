@@ -344,6 +344,73 @@ def test_stateful_sessionize_spans_batches(spark, tmp_path):
     assert len(got) > 50  # plenty of closed sessions in the sf0.001 stream
 
 
+def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
+    """Pins the late-data contract (deliberate round-5 semantics, see
+    stream_sessionize_stateful docstring): a batch-2 event OLDER than the
+    open session's start and outside the gap becomes its own earlier CLOSED
+    session — it is not folded into the open session. A late event within
+    the gap of an existing interval merges into it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.streaming.job import stream_sessionize_stateful
+
+    def _write(path, ts_seconds):
+        ts = np.asarray(ts_seconds, dtype=np.int64) * 1_000_000
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(np.full(len(ts), 7, dtype=np.int64)),
+                    "ts": pa.array(ts, type=pa.timestamp("us")),
+                }
+            ),
+            path,
+        )
+
+    stream_dir = str(tmp_path / "late_in")
+    os.makedirs(stream_dir)
+    base = 1_600_000_000
+    # batch 1: open session at base+10000 (two events 5 s apart)
+    _write(os.path.join(stream_dir, "a.parquet"), [base + 10_000, base + 10_005])
+    # batch 2, all out of order vs batch 1:
+    #   base+1000   -> older than the open session, gap-separated: OWN session
+    #   base+10_900 -> within gap (1800 s) of [10000,10005]: merges into it
+    #   base+50_000 -> new open session, closes everything earlier
+    _write(
+        os.path.join(stream_dir, "b.parquet"),
+        [base + 1_000, base + 10_900, base + 50_000],
+    )
+    os.utime(os.path.join(stream_dir, "a.parquet"), (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(stream_dir, "b.parquet"), (1_700_000_100, 1_700_000_100))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream_sessionize_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions_sink")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+        for r in spark.sql("select * from late_sessions_sink").collect()
+    )
+    expected = [
+        (7, float(base + 1_000), float(base + 1_000), 1),       # late, own session
+        (7, float(base + 10_000), float(base + 10_900), 3),     # merged within gap
+    ]
+    assert got == expected  # base+50000 stays open in state, not emitted
+
+
 def test_merge_session_intervals_order_independent():
     """The chunk fold must be exact under ANY chunking and ANY cross-chunk
     disorder: folding a shuffled, arbitrarily-chunked stream of timestamps
