@@ -45,6 +45,12 @@ HEADLINE = [
     "emb_lsh_topk",
     "winnow_fingerprints",
     "q1_rollup",
+    # the three most expensive round-4 TPC-H shapes (VERDICT r04 #3): q9
+    # runs 8 broadcasts over the full fact scan, q20 the 8-exchange
+    # qualification, q21 the fact self-union + per-order profile agg
+    "q9_profit_by_nation",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
 ]
 
 

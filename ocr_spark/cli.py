@@ -34,6 +34,16 @@ def main(argv=None):
     ex.add_argument("--master", default=None, help="override master (default: from spark-submit)")
     ex.add_argument("--shuffle-partitions", type=int, default=None)
     ex.add_argument(
+        "--catalog", choices=("parquet", "iceberg"), default="parquet",
+        help="commit substrate: parquet (default; manifest-log substitute) "
+             "or iceberg (requires the iceberg-spark-runtime jar — the CLI "
+             "fails fast with exact swap instructions when it is absent)",
+    )
+    ex.add_argument(
+        "--warehouse", default=None,
+        help="warehouse URI for --catalog iceberg (default: <output>/warehouse)",
+    )
+    ex.add_argument(
         "--partitions", type=int, default=None,
         help="salt-shuffle width for the CPU-bound UDF stages (default: one "
              "task per core; raise for straggler hiding / bounded retry "
@@ -65,6 +75,19 @@ def main(argv=None):
     if args.master:
         builder = builder.master(args.master)
     builder = configure(builder, args.shuffle_partitions)
+
+    catalog_name = None
+    if args.cmd == "extract" and args.catalog == "iceberg":
+        # fail fast, BEFORE paying session spin-up: raises IcebergUnavailable
+        # with the exact --packages/--conf swap lines when no runtime jar
+        from ocr_spark.pipeline.catalog import configure_iceberg, require_iceberg
+
+        catalog_name = "ocr"
+        require_iceberg(catalog_name)
+        builder = configure_iceberg(
+            builder, args.warehouse or f"{args.output}/warehouse", catalog_name
+        )
+
     spark = builder.getOrCreate()
     try:
         if args.cmd == "extract":
@@ -79,6 +102,7 @@ def main(argv=None):
                 salt=not args.no_salt,
                 partitions=args.partitions,
                 fonts=tuple(f for f in args.fonts.split(",") if f),
+                catalog=catalog_name,
             )
             print(json.dumps(metrics))
         else:  # stream

@@ -41,7 +41,24 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Brute-force cosine top-k: queries = vec_id < n_queries, neighbors =
-    every other vector. Output: (query_id, neighbor_id, rnk, sim_r4)."""
+    every other vector. Exact-recall baseline for the LSH/IVF paths, shaped
+    to survive an unbounded corpus:
+
+    - The BOUNDED query side (≤ n_queries rows, filter pushed to the scan)
+      is the broadcast build side; the corpus streams past it. The plan's
+      one BroadcastNestedLoopJoin builds O(n_queries) rows no matter the
+      table size (the former shape broadcast the whole corpus — OOM at
+      scale). The O(Q·N) comparison loop is inherent to the brute-force
+      contract; the committed scale paths are bucketed_topk / ivf_topk.
+    - The per-query ranking shuffle is bounded map-side: the rank<=k
+      predicate plans as WindowGroupLimit(Partial) below the exchange
+      (plan-asserted in tests/test_functions.py), so each map partition
+      emits at most k rows per query and the per-query reducer merges
+      partitions*k rows, never the N raw candidates. Only
+      (query_id, neighbor_id, sim) cross the wire — vectors are pruned
+      before the exchange.
+
+    Output: (query_id, neighbor_id, rnk, sim_r4)."""
     base = with_norms(df, vec_col, id_col)
     q = base.select(
         F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn")
@@ -49,9 +66,11 @@ def cosine_topk(
     n = base.select(
         F.col(id_col).alias("neighbor_id"), F.col("vec").alias("nv"), F.col("norm").alias("nn")
     )
-    pairs = q.join(F.broadcast(n), F.col("query_id") != F.col("neighbor_id"))
-    sims = pairs.withColumn(
-        "sim", F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qn") * F.col("nn"))
+    pairs = n.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (F.expr(_DOT.format(a="qv", b="nv")) / (F.col("qn") * F.col("nn"))).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

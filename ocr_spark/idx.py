@@ -48,8 +48,13 @@ def parse_idx(data: bytes) -> np.ndarray:
 
 
 def build_idx(arr: np.ndarray) -> bytes:
-    """Serialize a uint8 ndarray to idx bytes (writer twin of parse_idx)."""
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    """Serialize a uint8 ndarray to idx bytes (writer twin of parse_idx).
+
+    np.asarray, NOT np.ascontiguousarray: the latter promotes a 0-d array
+    to 1-d (it guarantees ndim>=1), which would silently mislabel a scalar
+    tensor's header (found by tests/test_parser_fuzz.py). tobytes() already
+    emits C-order bytes for any input layout."""
+    a = np.asarray(arr, dtype=np.uint8)
     header = struct.pack(">BBBB", 0, 0, _DTYPE_UBYTE, a.ndim)
     header += struct.pack(f">{a.ndim}i", *a.shape)
     return header + a.tobytes()

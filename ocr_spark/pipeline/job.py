@@ -287,6 +287,22 @@ def _read_committed(spark: SparkSession, manifest_dir: str) -> set[int]:
         return set()
 
 
+def _read_committed_table(spark: SparkSession, table: str) -> set[int]:
+    """Catalog-mode twin of _read_committed: a missing table (fresh run,
+    created by the first wave's append) means nothing is committed."""
+    try:
+        m = spark.table(table)
+    except Exception:
+        return set()
+    return {
+        r.partition_id
+        for r in m.where(F.col("status") == "committed")
+        .select("partition_id")
+        .distinct()
+        .collect()
+    }
+
+
 def _hadoop_delete(spark: SparkSession, path: str) -> None:
     """Delete a path through the Hadoop FS API (works for any scheme)."""
     hpath, fs = _hadoop_fs(spark, path)
@@ -305,6 +321,7 @@ def extract(
     partitions: int | None = None,
     fail_after: int | None = None,  # test hook: die after K bucket commits
     fonts: tuple | list | None = None,
+    catalog: str | None = None,  # Iceberg catalog name (see pipeline.catalog)
 ) -> dict:
     """Run the full job with bucketed idempotent commits. Returns metrics.
 
@@ -318,6 +335,14 @@ def extract(
 
     ``fail_after=K`` shrinks the wave to K buckets and raises after the
     first wave — the resume-test hook.
+
+    ``catalog`` switches the commit substrate from the parquet substitute to
+    a real Iceberg catalog of that name (guarded — the CLI calls
+    ``pipeline.catalog.require_iceberg`` first): span buckets land via
+    ``writeTo(...).overwritePartitions()`` (the snapshot swap IS the commit,
+    so the stale-dir pre-delete disappears) and manifest rows via
+    ``writeTo(...).append()``; reads go through ``spark.table``. The wave
+    loop, commit unit, and resume semantics are identical in both modes.
     """
     import os as _os
     import re as _re
@@ -343,7 +368,12 @@ def extract(
     manifest_dir = f"{output_dir}/_manifest"
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    committed = _read_committed(spark, manifest_dir) if resume else set()
+    if not resume:
+        committed = set()
+    elif catalog is not None:
+        committed = _read_committed_table(spark, f"{catalog}.manifest")
+    else:
+        committed = _read_committed(spark, manifest_dir)
     mark("read_committed")
     pending = [b for b in range(buckets) if b not in committed]
     metrics = {"buckets_total": buckets, "buckets_skipped": len(committed), "spans": 0}
@@ -366,12 +396,23 @@ def extract(
             .repartition(max(4 * len(wave), 1), "bucket", "doc_id")
         )
         mark("plan")
-        # dynamic overwrite only replaces partitions present in the new data;
-        # clear stale half-written dirs for wave buckets that may end empty
-        for b in wave:
-            _hadoop_delete(spark, f"{output_dir}/spans/bucket={b}")
-        mark("delete")
-        out.write.mode("overwrite").partitionBy("bucket").parquet(f"{output_dir}/spans")
+        if catalog is not None:
+            # Iceberg: the snapshot swap is atomic per commit, so stale
+            # half-written buckets cannot exist — no pre-delete needed
+            from .catalog import iceberg_overwrite_buckets
+
+            mark("delete")
+            iceberg_overwrite_buckets(out, f"{catalog}.spans")
+        else:
+            # dynamic overwrite only replaces partitions present in the new
+            # data; clear stale half-written dirs for wave buckets that may
+            # end empty
+            for b in wave:
+                _hadoop_delete(spark, f"{output_dir}/spans/bucket={b}")
+            mark("delete")
+            out.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{output_dir}/spans"
+            )
         mark("write")
 
         # manifest stats come from READING BACK the written files — cheaper
@@ -382,15 +423,18 @@ def extract(
         # and the empty buckets must still commit (zero-stat) manifest rows.
         from pyspark.sql import types as T
 
-        written = (
-            spark.read.schema(
-                T.StructType(
-                    OUTPUT_SPANS.fields + [T.StructField("bucket", T.IntegerType())]
+        if catalog is not None:
+            written = spark.table(f"{catalog}.spans").where(F.col("bucket").isin(wave))
+        else:
+            written = (
+                spark.read.schema(
+                    T.StructType(
+                        OUTPUT_SPANS.fields + [T.StructField("bucket", T.IntegerType())]
+                    )
                 )
+                .parquet(f"{output_dir}/spans")
+                .where(F.col("bucket").isin(wave))
             )
-            .parquet(f"{output_dir}/spans")
-            .where(F.col("bucket").isin(wave))
-        )
         stats = {
             int(r["bucket"]): r
             for r in written.groupBy("bucket")
@@ -437,7 +481,12 @@ def extract(
             + " AS t(run_id, partition_id, doc_count, span_count, media_count,"
             "        checksum, committed_at, status)"
         )
-        manifest_df.coalesce(1).write.mode("append").parquet(manifest_dir)
+        if catalog is not None:
+            from .catalog import iceberg_append
+
+            iceberg_append(manifest_df.coalesce(1), f"{catalog}.manifest")
+        else:
+            manifest_df.coalesce(1).write.mode("append").parquet(manifest_dir)
         mark("manifest")
         done += len(wave)
         if fail_after is not None and done >= fail_after:

@@ -61,6 +61,25 @@ def test_near_dup_lsh_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_cosine_topk_broadcasts_only_the_query_side(spark):
+    """The brute-force baseline may nested-loop (that IS its contract) but
+    the broadcast build side must be the BOUNDED query side: the corpus
+    scan streams, the vec_id < n_queries filter is pushed into the scan
+    UNDER the BroadcastExchange, and the per-query ranking is map-side
+    pruned (WindowGroupLimit Partial) so the reducer never sees the N raw
+    candidate rows."""
+    from ocr_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = cosine_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    before, after = plan.split("BroadcastExchange", 1)
+    assert "LessThan(vec_id,8)" in after, "bounded filter must sit under the broadcast"
+    assert "LessThan(vec_id" not in before, "corpus (stream) side must be unfiltered"
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
 def test_near_dup_lsh_subset_of_brute_force(spark):
     """LSH-gated near-dups are exactly the brute-force pairs that share a
     sign bucket: a subset, with identical sims on the intersection."""
