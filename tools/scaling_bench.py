@@ -30,7 +30,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def single(cpus: int, corpus: str, out_dir: str, buckets: int) -> None:
+def single(cpus: int, corpus: str, out_dir: str, buckets: int,
+           fonts: str = "arial") -> None:
     from pyspark.sql import SparkSession
 
     from ocr_spark.pipeline.job import configure, extract, read_output
@@ -49,7 +50,8 @@ def single(cpus: int, corpus: str, out_dir: str, buckets: int) -> None:
     spark.sparkContext.setLogLevel("WARN")
     meter = StealMeter()
     t0 = time.perf_counter()
-    metrics = extract(spark, corpus, out_dir, run_id=f"scale-{cpus}", buckets=buckets)
+    metrics = extract(spark, corpus, out_dir, run_id=f"scale-{cpus}", buckets=buckets,
+                      fonts=tuple(f for f in fonts.split(",") if f))
     wall = time.perf_counter() - t0
     out = read_output(spark, out_dir)
     n_docs = out.select("doc_id").distinct().count()
@@ -77,6 +79,11 @@ def main() -> None:
     ap.add_argument("--cpus", default="8,32")
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--skew", action="store_true")
+    ap.add_argument(
+        "--fonts", default="arial",
+        help="comma list of font sheets to learn (multi-font leg: "
+             "arial,courier doubles the 1-NN template matrix)",
+    )
     ap.add_argument("--md", default=None, help="write/update this markdown report")
     ap.add_argument("--single", nargs=3, metavar=("CPUS", "CORPUS", "OUT"), default=None)
     ap.add_argument(
@@ -95,7 +102,8 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.single:
-        single(int(args.single[0]), args.single[1], args.single[2], args.buckets)
+        single(int(args.single[0]), args.single[1], args.single[2], args.buckets,
+               fonts=args.fonts)
         return
 
     from ocr_spark.fixtures import write_corpus
@@ -116,7 +124,7 @@ def main() -> None:
                     while f.read(1 << 24):
                         pass
         cmd = [sys.executable, os.path.abspath(__file__), "--single", str(k), corpus, out_dir,
-               "--buckets", str(args.buckets)]
+               "--buckets", str(args.buckets), "--fonts", args.fonts]
         if args.taskset:
             cmd = ["taskset", "-c", f"0-{k - 1}"] + cmd
         proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
