@@ -27,6 +27,14 @@ class Settings:
     max_symbol_height: int = 75
     max_line_width: int = 100
 
+    def set_max_character_spacing_fraction(self, fraction: float, page_width: int) -> "Settings":
+        """Reference Settings.setMaxCharacterSpacingFraction (Settings.java:110-113):
+        spacing as a per-mille-of-page-width fraction — ``fraction * pageWidth / 100``.
+        Takes the page width directly (the Java form takes a Page); returns self
+        so callers can chain it at construction."""
+        self.character_spacing = fraction * page_width / 100
+        return self
+
 
 @dataclass
 class CharBox:

@@ -266,3 +266,23 @@ def test_bspline_rotation_bit_exact(string3, angle, quality, golden):
     from ocr_spark.kernel.rotate import rotate_gray_spline
 
     assert np.array_equal(rotate_gray_spline(string3, angle, quality), _gold(golden))
+
+
+def test_settings_max_character_spacing_fraction(arial_alphabet):
+    """Settings.setMaxCharacterSpacingFraction parity (Settings.java:110-113):
+    spacing = fraction * pageWidth / 100, and the fraction form recognizes
+    identically to the equivalent absolute spacing."""
+    from ocr_spark.kernel.engine import recognize
+    from ocr_spark.kernel.segment import Settings
+
+    s = Settings().set_max_character_spacing_fraction(2.5, 400)
+    assert s.character_spacing == 2.5 * 400 / 100
+
+    page = _gold("scan_string_1.gray.png")
+    w = page.shape[1]
+    frac = 8.0 * 100 / w  # the absolute spacing the parity tests use
+    direct = recognize(page, Settings(character_spacing=8.0), arial_alphabet)
+    via_fraction = recognize(
+        page, Settings().set_max_character_spacing_fraction(frac, w), arial_alphabet
+    )
+    assert via_fraction == direct
