@@ -83,9 +83,10 @@ def main(argv=None):
         from ocr_spark.pipeline.catalog import configure_iceberg, require_iceberg
 
         catalog_name = "ocr"
-        require_iceberg(catalog_name)
+        jars = require_iceberg(catalog_name)
         builder = configure_iceberg(
-            builder, args.warehouse or f"{args.output}/warehouse", catalog_name
+            builder, args.warehouse or f"{args.output}/warehouse", catalog_name,
+            jars=jars,
         )
 
     spark = builder.getOrCreate()

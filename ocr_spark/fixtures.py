@@ -29,7 +29,10 @@ SEED = 1337
 
 # bump when the corpus schema/content changes: ensure_corpus regenerates any
 # cached dir whose _DONE marker carries an older version
-FIXTURE_VERSION = 5
+# v6: video clip count capped at 32 — changed videos.parquet for the
+# 'small'/'bench' named scales and the bench/scaling corpora (tiny kept its
+# 30 clips; documents/media/expected unchanged at every scale)
+FIXTURE_VERSION = 6
 
 # validated: each word round-trips render -> segment -> classify exactly
 # (glyphs i j l m w W X 0 and thin punctuation excluded — the reference

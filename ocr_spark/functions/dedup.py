@@ -217,14 +217,31 @@ def persist_if_large(df: DataFrame, threshold: int = REUSE_MIN_SOURCE_BYTES) -> 
 
     Installed caches are tracked in a bounded FIFO (``_PERSIST_CAP``):
     the oldest entry is unpersisted when the cap is exceeded, and
-    ``release_persisted()`` drops them all eagerly."""
+    ``release_persisted()`` drops them all eagerly.
+
+    An already-cached plan is returned untouched and NOT tracked again:
+    Spark's CacheManager keys by analyzed plan, so a second persist() of an
+    identical plan would alias the SAME InMemoryRelation — evicting the
+    older handle would silently drop the cache out from under the newer one.
+
+    Caller contract: run the consuming action before composing more than
+    ``_PERSIST_CAP`` persisted frames — eviction of a cache whose action has
+    not run yet silently forfeits the reuse (the eviction is logged so the
+    recompute has a trace)."""
     if _source_bytes(df, threshold) >= threshold:
+        if df.is_cached:
+            return df
         df = df.persist()
         _PERSISTED.append(df)
         if len(_PERSISTED) > _PERSIST_CAP:
             old = _PERSISTED.pop(0)
             try:
                 old.unpersist()
+                _LOG.warning(
+                    "persist_if_large FIFO full (%d): evicted the oldest "
+                    "cached frame — if its consuming action had not run yet, "
+                    "its subtree will recompute", _PERSIST_CAP,
+                )
             except Exception:
                 pass  # already unpersisted / session gone
     return df

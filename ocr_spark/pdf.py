@@ -34,10 +34,15 @@ _STREAM_HEAD = re.compile(rb"(?<!end)stream\r?\n")
 # indirect-ref lookahead
 _LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 # generous finite pad tolerance (writers emit 1-2 EOL bytes; 1 KiB covers
-# any real padding) rather than unbounded: an UNDERCOUNTING /Length whose
-# omitted tail happens to be pure whitespace would otherwise be silently
-# accepted and the stream truncated at the wrong declared length, where the
-# capped form falls back to the endstream scan and recovers the full body
+# any real padding) rather than unbounded, so a grossly undercounting
+# /Length whose omitted tail is pure whitespace falls back to the
+# endstream scan instead of silently truncating. Residual window, accepted:
+# an undercount whose whitespace-valued omitted tail is <= 1024 bytes is
+# still taken at the declared length — harmless for uncompressed text
+# streams (the tail is semantically empty past the last ET) and for Flate
+# it surfaces as a zlib error -> parse-as-is, the same degradation an
+# unrecoverable undercount produces; zlib payload tails are effectively
+# random bytes, so an all-whitespace tail is already a pathological input.
 _ENDSTREAM_AT = re.compile(rb"\s{0,1024}endstream")
 _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # ( ... ) with escaped chars, followed by the operator

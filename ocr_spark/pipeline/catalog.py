@@ -40,11 +40,16 @@ class IcebergUnavailable(RuntimeError):
 def iceberg_runtime_jars() -> list[str]:
     """Iceberg spark-runtime jars visible to this Spark installation.
 
-    Looks in the installed pyspark's ``jars/`` directory (where both a
-    bundled jar and one materialized by ``--packages`` end up on the driver)
-    plus an optional ``OCR_SPARK_ICEBERG_JARS_DIR`` override for deployments
-    that stage jars elsewhere (also what the unit tests use to exercise the
-    found-jar path in a container that has none).
+    Looks everywhere a runtime jar legitimately lands:
+
+    - the installed pyspark's ``jars/`` (a jar baked into the distribution);
+    - ``$SPARK_HOME/jars`` when it differs (external Spark installs);
+    - the Ivy cache (``~/.ivy2/jars`` or ``$SPARK_JARS_IVY``/jars) — this is
+      where ``spark-submit --packages`` materializes artifacts; they are put
+      on the JVM classpath from there, NOT copied into pyspark's jars/;
+    - an optional ``OCR_SPARK_ICEBERG_JARS_DIR`` override for deployments
+      that stage jars elsewhere (also what the unit tests use to exercise
+      the found-jar path in a container that has none).
     """
     dirs = []
     try:
@@ -53,13 +58,18 @@ def iceberg_runtime_jars() -> list[str]:
         dirs.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
     except ImportError:  # pragma: no cover - pyspark is baked into this env
         pass
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        dirs.append(os.path.join(spark_home, "jars"))
+    ivy = os.environ.get("SPARK_JARS_IVY") or os.path.expanduser("~/.ivy2")
+    dirs.append(os.path.join(ivy, "jars"))
     extra = os.environ.get("OCR_SPARK_ICEBERG_JARS_DIR")
     if extra:
         dirs.append(extra)
     found: list[str] = []
     for d in dirs:
         found.extend(glob.glob(os.path.join(d, ICEBERG_JAR_GLOB)))
-    return sorted(found)
+    return sorted(set(found))
 
 
 def require_iceberg(catalog_name: str = "ocr") -> list[str]:
@@ -95,9 +105,17 @@ def require_iceberg(catalog_name: str = "ocr") -> list[str]:
     )
 
 
-def configure_iceberg(builder, warehouse: str, catalog_name: str = "ocr"):
+def configure_iceberg(builder, warehouse: str, catalog_name: str = "ocr",
+                      jars: list[str] | None = None):
     """Attach a hadoop-type Iceberg catalog to a session builder (only
-    meaningful once require_iceberg() passed)."""
+    meaningful once require_iceberg() passed). ``jars`` (the guard's return
+    value) is put on ``spark.jars`` so a jar staged outside the default
+    classpath (OCR_SPARK_ICEBERG_JARS_DIR) actually reaches the JVM —
+    without this, the guard would pass and the job would still die later
+    with ClassNotFoundException. Re-listing a jar that is already on the
+    classpath (pyspark jars/ or --packages) is harmless."""
+    if jars:
+        builder = builder.config("spark.jars", ",".join(jars))
     return (
         builder.config(
             f"spark.sql.catalog.{catalog_name}",

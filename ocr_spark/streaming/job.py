@@ -248,14 +248,21 @@ def stream_sessionize_stateful(events_stream: DataFrame, gap_s: int = 1800) -> D
 
     Late-data contract (no watermark — the operator sessionizes on the TIME
     AXIS, not arrival order): a late event landing within ``gap_s`` of any
-    known interval extends/merges that interval; a late event older than
-    the open session's start AND gap-separated from it becomes its own
-    earlier session and is emitted closed as soon as a later interval
-    exists. Pre-round-5 behavior folded every late event into the open
-    session regardless of distance, silently stretching sessions across
-    gaps; the interval-merge form keeps output equal to batch sessionize
-    over the union of all arrived events (pinned by
-    tests/test_streaming.py::test_stateful_sessionize_cross_batch_late_events).
+    interval STILL IN STATE extends/merges that interval; a late event
+    gap-separated from everything in state becomes its own session.
+    Pre-round-5 behavior folded every late event into the open session
+    regardless of distance, silently stretching sessions across gaps.
+
+    Equality with batch sessionize over the union of all arrived events
+    holds as long as late events arrive before the session they belong to
+    is emitted (state holds every interval until a later one closes it).
+    Once a session HAS been emitted, append mode cannot retract it: a
+    subsequent event within that emitted session's gap starts a NEW session
+    (possibly overlapping the emitted one) rather than merging — the
+    standard append-mode limit for watermark-free operators; bound it
+    upstream with a watermark if retraction-free exactness is required.
+    Both sides of the contract are pinned by
+    tests/test_streaming.py::test_stateful_sessionize_cross_batch_late_events.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

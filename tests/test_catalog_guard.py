@@ -39,6 +39,23 @@ def test_require_iceberg_passes_when_jar_staged(monkeypatch, tmp_path):
     assert str(jar) in require_iceberg()
 
 
+def test_configure_iceberg_puts_staged_jars_on_the_classpath(monkeypatch, tmp_path):
+    """A jar that passed the guard from a non-default location must reach
+    spark.jars — otherwise the guard passes and the JVM still dies later
+    with ClassNotFoundException."""
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.pipeline.catalog import configure_iceberg
+
+    b = SparkSession.builder
+    jar = str(tmp_path / "iceberg-spark-runtime-4.0_2.13-1.10.0.jar")
+    configure_iceberg(b, "file:///tmp/wh", "ocr", jars=[jar])
+    opts = b._options
+    assert opts["spark.jars"] == jar
+    assert opts["spark.sql.catalog.ocr"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert opts["spark.sql.catalog.ocr.warehouse"] == "file:///tmp/wh"
+
+
 def test_cli_catalog_iceberg_fails_fast(monkeypatch, tmp_path):
     """The CLI must raise the guard error before building any session (this
     test stays sub-second precisely because no JVM ever starts)."""

@@ -349,7 +349,10 @@ def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
     stream_sessionize_stateful docstring): a batch-2 event OLDER than the
     open session's start and outside the gap becomes its own earlier CLOSED
     session — it is not folded into the open session. A late event within
-    the gap of an existing interval merges into it."""
+    the gap of an interval still in state merges into it. A late event
+    within the gap of an ALREADY-EMITTED session does NOT merge (append
+    mode cannot retract): it starts a new session — the third batch pins
+    that limit explicitly."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -381,8 +384,14 @@ def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
         os.path.join(stream_dir, "b.parquet"),
         [base + 1_000, base + 10_900, base + 50_000],
     )
+    # batch 3: base+1100 is within gap of the base+1000 session EMITTED in
+    # batch 2 — it must NOT merge (no retraction in append mode); with the
+    # later open [50000] interval in state it closes immediately as its own
+    # 1-event session
+    _write(os.path.join(stream_dir, "c.parquet"), [base + 1_100])
     os.utime(os.path.join(stream_dir, "a.parquet"), (1_700_000_000, 1_700_000_000))
     os.utime(os.path.join(stream_dir, "b.parquet"), (1_700_000_100, 1_700_000_100))
+    os.utime(os.path.join(stream_dir, "c.parquet"), (1_700_000_200, 1_700_000_200))
 
     stream = (
         spark.readStream.schema("user_id bigint, ts timestamp")
@@ -406,7 +415,8 @@ def test_stateful_sessionize_cross_batch_late_events(spark, tmp_path):
     )
     expected = [
         (7, float(base + 1_000), float(base + 1_000), 1),       # late, own session
-        (7, float(base + 10_000), float(base + 10_900), 3),     # merged within gap
+        (7, float(base + 1_100), float(base + 1_100), 1),       # near EMITTED session: new, no merge
+        (7, float(base + 10_000), float(base + 10_900), 3),     # merged within gap (in state)
     ]
     assert got == expected  # base+50000 stays open in state, not emitted
 

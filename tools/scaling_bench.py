@@ -106,13 +106,16 @@ def main() -> None:
                fonts=args.fonts)
         return
 
-    from ocr_spark.fixtures import write_corpus
+    from ocr_spark.fixtures import FIXTURE_VERSION, write_corpus
 
     tag = f"{args.docs}x{args.pages}{'_skew' if args.skew else ''}"
     corpus = f"/tmp/ocr_spark_scaling/{tag}"
-    if not os.path.exists(os.path.join(corpus, "_DONE")):
+    marker = os.path.join(corpus, "_DONE")
+    want = f"v{FIXTURE_VERSION} {tag}"
+    have = open(marker).read() if os.path.exists(marker) else None
+    if have != want:
         write_corpus(corpus, n_docs=args.docs, n_pages=args.pages, skew=args.skew)
-        open(os.path.join(corpus, "_DONE"), "w").write(tag)
+        open(marker, "w").write(want)
 
     results = []
     for k in [int(c) for c in args.cpus.split(",")]:
