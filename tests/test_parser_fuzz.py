@@ -224,3 +224,60 @@ def test_pdf_mutation_never_crashes(pages, compress, seed):
     out = extract_text(blob)
     assert isinstance(out, list)
     assert all(isinstance(t, str) for t in out)
+
+
+# --------------------------------------------------------------------------
+# png (page rasters / F8 debug renders)
+# --------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+def test_png_round_trip(h, w, seed, rgb):
+    from ocr_spark.png import decode_gray, decode_rgb, encode_gray, encode_rgb
+
+    rng = np.random.default_rng(seed)
+    if rgb:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_rgb(encode_rgb(img)), img)
+    else:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(decode_gray(encode_gray(img)), img)
+        # gray blobs decode through the rgb entry point as 3-channel broadcast
+        assert np.array_equal(decode_rgb(encode_gray(img)), np.repeat(img[:, :, None], 3, 2))
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+def test_png_mutation_never_crashes(h, w, seed, rgb):
+    """Mutated blobs must raise ValueError (the codec's single error family —
+    truncation, bad IDAT, implausible dims are all normalized to it) or
+    decode to an array of the header-declared shape. Never hang, never OOM
+    on hostile dimensions, never leak Index/struct/zlib errors into the UDF.
+    """
+    from ocr_spark.png import decode_gray, decode_rgb, encode_gray, encode_rgb
+
+    rng = np.random.default_rng(seed)
+    if rgb:
+        blob = encode_rgb(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+    else:
+        blob = encode_gray(rng.integers(0, 256, size=(h, w), dtype=np.uint8))
+    mutated = _mutate(blob, seed)
+    for decoder, ndim in ((decode_gray, 2), (decode_rgb, 3)):
+        try:
+            out = decoder(mutated)
+        except ValueError:
+            continue
+        assert out.dtype == np.uint8 and out.ndim == ndim
+        assert out.shape[0] >= 1 and out.shape[1] >= 1
+        if ndim == 3:
+            assert out.shape[2] == 3

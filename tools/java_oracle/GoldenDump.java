@@ -50,8 +50,57 @@ public class GoldenDump
 			case "sheardbg": shearDbg(args[1], Double.parseDouble(args[2]), args[3]); break;
 			case "benchscan": benchScan(args[1], Integer.parseInt(args[2])); break;
 			case "rotspline": rotSpline(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
+			case "debugbmp": dumpDebugBitmaps(args[1], args[2], args[3]); break;
+			case "aaprobe": dumpAaProbe(args[1]); break;
 			default: throw new IllegalArgumentException(args[0]);
 		}
+	}
+
+	// F8 debug curvature renders: learn() attaches one per glyph
+	// (CurvatureClassifier.java:74-76 -> generateCurvatureBitmap :498-735).
+	static void dumpDebugBitmaps(String fontPng, String fontName, String outDir) throws Exception
+	{
+		Bitmap sheet = load(fontPng);
+		OCREngine engine = new OCREngine(MS);
+		engine.learnAlphabet(fontName, sheet);
+		ArrayList<Symbol> symbols = engine.getTemplates();
+		for (int si = 0; si < symbols.size(); si++)
+		{
+			Symbol s = symbols.get(si);
+			BufferedImage b = s.getSymbolBitmap();
+			if (b == null) continue;
+			TextBox box = s.mTextBox;
+			ImageIO.write(b, "png", new File(outDir + "/debugbmp_" + si + "_" + box.x + "_" + box.y + ".png"));
+		}
+	}
+
+	// Java2D SrcOver/stroke calibration probe for the F8 reimplementation:
+	// alpha fills over known backgrounds, plus crisp (normalized) 1px/3px
+	// axis-aligned AA lines and one diagonal + triangle as the AA reference.
+	static void dumpAaProbe(String out) throws Exception
+	{
+		BufferedImage img = new BufferedImage(120, 120, BufferedImage.TYPE_INT_RGB);
+		java.awt.Graphics2D g = img.createGraphics();
+		g.setRenderingHint(RenderingHints.KEY_ANTIALIASING, RenderingHints.VALUE_ANTIALIAS_ON);
+		int[] bgs = {0x000000, 0x404040, 0x808080, 0xC0C0C0, 0xFFFFFF, 0x1E3C64};
+		for (int i = 0; i < 6; i++) { g.setColor(new java.awt.Color(bgs[i])); g.fillRect(0, i * 10, 120, 10); }
+		java.awt.Color[] strips = {
+			new java.awt.Color(255, 255, 255, 240), new java.awt.Color(255, 255, 255, 64),
+			new java.awt.Color(0, 0, 0, 16), new java.awt.Color(255, 0, 0, 128),
+			new java.awt.Color(0, 255, 255, 128) };
+		for (int i = 0; i < strips.length; i++) { g.setColor(strips[i]); g.fillRect(10 + i * 15, 0, 10, 60); }
+		g.setColor(java.awt.Color.WHITE);
+		g.fillRect(0, 60, 120, 60);
+		g.setColor(java.awt.Color.BLACK);
+		g.drawLine(10, 70, 40, 70);
+		g.drawLine(50, 65, 50, 95);
+		g.setStroke(new java.awt.BasicStroke(3));
+		g.drawLine(10, 80, 40, 80);
+		g.setStroke(new java.awt.BasicStroke(1));
+		g.drawLine(60, 65, 90, 95);
+		g.fillPolygon(new int[]{100, 115, 100}, new int[]{65, 95, 95}, 3);
+		g.dispose();
+		ImageIO.write(img, "png", new File(out));
 	}
 
 	static Bitmap load(String path) throws Exception

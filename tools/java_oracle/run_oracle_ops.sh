@@ -47,6 +47,25 @@ $J rotspline "$GOLD/scan_string_3.gray.png" 7.5   3 "$GOLD/rot_spline_q3_7.5.gra
 $J rotspline "$GOLD/scan_string_3.gray.png" 12.0  4 "$GOLD/rot_spline_q4_12.gray.png"
 $J rotspline "$GOLD/scan_string_3.gray.png" 352.0 5 "$GOLD/rot_spline_q5_m8.gray.png"
 
+# F8 debug curvature renders + the Java2D AA/SrcOver calibration probe.
+# debugbmp dumps the full learned sheet to a temp dir; only the diverse
+# subset named in tests/test_debug_render.py is committed (runs verify all).
+mkdir -p "$GOLD/debugbmp"
+$J aaprobe "$GOLD/aaprobe.png"
+F8TMP=$(mktemp -d)
+trap 'rm -rf "$F8TMP"' EXIT
+$J debugbmp "$REF/src/org/terifan/ocr/fonts/arial.png" arial "$F8TMP"
+for f in debugbmp_0_1_1 debugbmp_12_853_1 debugbmp_22_640_70 debugbmp_32_427_139 \
+         debugbmp_35_640_139 debugbmp_52_1_277 debugbmp_61_640_277 debugbmp_62_1_346 \
+         debugbmp_64_143_346 debugbmp_66_285_346 debugbmp_68_427_346 debugbmp_71_640_346; do
+  cp "$F8TMP/$f.png" "$GOLD/debugbmp/$f.png"
+done
+rm -rf "$F8TMP"; F8TMP=$(mktemp -d)
+$J debugbmp "$REF/src/org/terifan/ocr/fonts/courier.png" courier "$F8TMP"
+cp "$F8TMP/debugbmp_0_1_1.png"      "$GOLD/debugbmp/courier_debugbmp_0_1_1.png"
+cp "$F8TMP/debugbmp_64_569_346.png" "$GOLD/debugbmp/courier_debugbmp_64_569_346.png"
+rm -rf "$F8TMP"
+
 rm -rf "$BUILD"
 echo "aux goldens written to $GOLD"
 
