@@ -65,7 +65,30 @@ def main(argv=None):
     st.add_argument("--master", default=None)
     st.add_argument("--shuffle-partitions", type=int, default=None)
 
+    dr = sub.add_parser(
+        "debug-render",
+        help="F8 per-glyph debug curvature sheet for a page region "
+             "(driver-side kernel tool, no Spark session)",
+    )
+    dr.add_argument("--page", required=True, help="8-bit grayscale PNG (page raster)")
+    dr.add_argument("--box", required=True, nargs=4, type=int,
+                    metavar=("X", "Y", "W", "H"), help="glyph box on the page")
+    dr.add_argument("--out", required=True, help="output PNG path")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "debug-render":
+        from ocr_spark.kernel.debug_render import render_region_debug
+        from ocr_spark.png import decode_gray, encode_rgb
+
+        with open(args.page, "rb") as f:
+            gray = decode_gray(f.read())
+        x, y, w, h = args.box
+        img, _mask = render_region_debug(gray, x, y, w, h)
+        with open(args.out, "wb") as f:
+            f.write(encode_rgb(img))
+        print(json.dumps({"out": args.out, "width": img.shape[1], "height": img.shape[0]}))
+        return
 
     from pyspark.sql import SparkSession
 

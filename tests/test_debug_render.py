@@ -101,3 +101,18 @@ def test_render_deterministic():
     a, ma = render_curvature_debug(matrix, (1, 1))
     b, mb = render_curvature_debug(matrix, (1, 1))
     assert np.array_equal(a, b) and np.array_equal(ma, mb)
+
+
+def test_cli_debug_render(tmp_path):
+    """`ocr_spark.cli debug-render` writes the sheet PNG without a Spark
+    session, matching the library render for the same region."""
+    from ocr_spark.cli import main
+    from ocr_spark.kernel.debug_render import render_region_debug
+
+    out = tmp_path / "sheet.png"
+    main(["debug-render", "--page", os.path.join(GOLD, "arial.gray.png"),
+          "--box", "1", "1", "69", "67", "--out", str(out)])
+    with open(out, "rb") as f:
+        img = decode_rgb(f.read())
+    want, _ = render_region_debug(_sheet_gray("arial"), 1, 1, 69, 67)
+    assert np.array_equal(img, want)
