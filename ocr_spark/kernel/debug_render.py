@@ -42,6 +42,7 @@ import numpy as np
 from .features import (
     extract_contour,
     extract_curvature,
+    extract_curvature_vector,
     extract_slopes,
 )
 
@@ -227,9 +228,7 @@ def render_curvature_debug(matrix: np.ndarray, box_xy=(0, 0)):
     contour = extract_contour(matrix)
     slopes, slopes2 = extract_slopes(contour)
     triangles = extract_curvature(contour, slopes, n)
-    from .features import curvature_vector  # local import to avoid cycle noise
-
-    cv = curvature_vector(matrix)  # (8, 2, 3) int
+    cv = extract_curvature_vector(triangles, n)  # (8, 2, 3) int
 
     tile = np.where(matrix, 0, 255).astype(np.uint8)  # binarized: ink=black
     tile_rgb = np.repeat(np.repeat(tile, SCALE, 0), SCALE, 1)[:, :, None].repeat(3, 2)
@@ -302,7 +301,9 @@ def render_curvature_debug(matrix: np.ndarray, box_xy=(0, 0)):
     # (green row strings: x in [3, 51], never above the tile top; number
     # labels: x in [73, 106], rows [top-46, top-19]) plus headroom. The gap
     # x in [58, 72) between text and tiles stays UNMASKED and checked.
-    mask[0:14, 0:44] = True  # "x, y" header at baseline (0, 10), <= 8 chars
+    # "x, y" header at baseline (0, 10): width scales with the coordinate
+    # digits (JVM 8pt glyph advance <= ~5 px; built-in font uses 4 px)
+    mask[0:14, 0 : max(44, 5 * len(f"{box_xy[0]}, {box_xy[1]}") + 6)] = True
     for ori in range(8):
         top = PAD_Y + ori * (PAD_Y + size)
         mask[top : top + size + 7, 0:58] = True  # green contour/slope rows

@@ -18,9 +18,17 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 # Decode bound for untrusted blobs: a mutated/hostile header must not be able
-# to OOM an executor (np.zeros on absurd dims) or zip-bomb via IDAT. Largest
-# legitimate page in the corpus is a few Mpx; 256M samples is 100x headroom.
-_MAX_SAMPLES = 1 << 28
+# to OOM an executor (np.zeros on absurd dims), zip-bomb via IDAT, or stall a
+# task in the pure-Python defilter loops (filters 1/3/4 cost one Python
+# iteration per SAMPLE, i.e. per byte). The cap therefore counts w*h*bpp.
+# Largest legitimate page is a few Mpx gray (A4@300dpi = 8.7M samples);
+# 64M samples is ~7x headroom.
+_MAX_SAMPLES = 1 << 26
+
+
+def _check_dims(w: int, h: int, bpp: int):
+    if w == 0 or h == 0 or w * h * bpp > _MAX_SAMPLES:
+        raise ValueError(f"implausible dimensions {w}x{h}x{bpp}")
 
 
 def _parse_chunks(data: bytes):
@@ -60,8 +68,6 @@ def _parse_chunks(data: bytes):
         raise ValueError("missing IHDR")
     if not idat:
         raise ValueError("missing IDAT")
-    if w == 0 or h == 0 or w * h > _MAX_SAMPLES:
-        raise ValueError(f"implausible dimensions {w}x{h}")
     return w, h, bit_depth, color_type, idat
 
 
@@ -121,6 +127,7 @@ def decode_gray(data: bytes) -> np.ndarray:
     w, h, bit_depth, color_type, idat = _parse_chunks(data)
     if color_type != 0 or bit_depth != 8:
         raise ValueError(f"only 8-bit grayscale supported, got ct={color_type} bd={bit_depth}")
+    _check_dims(w, h, 1)
     return _defilter(_inflate(idat, h * (w + 1)), w, h, 1)
 
 
@@ -136,6 +143,7 @@ def decode_rgb(data: bytes) -> np.ndarray:
     if bit_depth != 8 or color_type not in (0, 2):
         raise ValueError(f"only 8-bit gray/truecolor supported, got ct={color_type} bd={bit_depth}")
     bpp = 1 if color_type == 0 else 3
+    _check_dims(w, h, bpp)
     img = _defilter(_inflate(idat, h * (w * bpp + 1)), w, h, bpp)
     if bpp == 1:
         return np.repeat(img[:, :, None], 3, axis=2)

@@ -116,3 +116,12 @@ def test_cli_debug_render(tmp_path):
         img = decode_rgb(f.read())
     want, _ = render_region_debug(_sheet_gray("arial"), 1, 1, 69, 67)
     assert np.array_equal(img, want)
+
+
+def test_header_mask_covers_large_coordinates():
+    """The header divergence box must scale with the coordinate digits: every
+    non-white pixel in the header rows stays inside the mask."""
+    matrix, _ = extract_matrix(_sheet_gray("arial"), 1, 1, 69, 67, 9)
+    img, mask = render_curvature_debug(matrix, (12345, 67890))
+    header_text = (img[0:14] != 255).any(axis=2)
+    assert not (header_text & ~mask[0:14]).any()

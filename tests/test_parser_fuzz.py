@@ -281,3 +281,28 @@ def test_png_mutation_never_crashes(h, w, seed, rgb):
         assert out.shape[0] >= 1 and out.shape[1] >= 1
         if ndim == 3:
             assert out.shape[2] == 3
+
+
+def test_png_hostile_dimensions_rejected_fast():
+    """A tiny blob declaring huge dimensions must raise ValueError without
+    allocating or defiltering (the bpp-aware _MAX_SAMPLES cap): 16384x16384
+    gray and 8192x8192 rgb both exceed 2**26 samples."""
+    import struct as _struct
+    import time
+    import zlib as _zlib
+
+    from ocr_spark.png import _SIG, decode_gray, decode_rgb
+
+    def blob(w, h, ct):
+        def chunk(ctype, payload):
+            return (_struct.pack(">I", len(payload)) + ctype + payload
+                    + _struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF))
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
+
+    t0 = time.time()
+    with pytest.raises(ValueError):
+        decode_gray(blob(16384, 16384, 0))
+    with pytest.raises(ValueError):
+        decode_rgb(blob(8192, 8192, 2))
+    assert time.time() - t0 < 1.0
