@@ -4,7 +4,12 @@ Goldens: tests/goldens/debugbmp/[{font}_]debugbmp_{si}_{x}_{y}.png are the
 reference's own per-symbol debug sheets, dumped by `GoldenDump debugbmp` from
 CurvatureClassifier.learn() (12 structurally diverse arial glyphs + 2
 courier; the full 73-glyph arial and 66-glyph courier sheets were verified
-the same way before committing this subset); tests/goldens/aaprobe.png calibrates Java2D SrcOver blending and
+the same way before committing this subset). debugscan_{x}_{y}_{w}_{h}.png
+are the sheets classifySymbol attaches to char TextBoxes while scanning
+scan_string_3 (GoldenDump debugscan, same pad=10/spacing=8 protocol as the
+scan goldens; all 16 were verified, 4 diverse ones committed) — this covers
+the classify path: segmentation-derived boxes, tiny crops, page coordinates.
+tests/goldens/aaprobe.png calibrates Java2D SrcOver blending and
 normalized stroke geometry (GoldenDump aaprobe).
 
 Contract (ocr_spark/kernel/debug_render.py docstring): bit-exact everywhere
@@ -44,8 +49,29 @@ def _sheet_gray(name):
     return _SHEETS[name]
 
 
+_SCAN_GOLDENS = sorted(glob.glob(os.path.join(GOLD, "debugbmp", "debugscan_*.png")))
+
+
 def test_goldens_present():
     assert len(_GOLDENS) == 14
+    assert len(_SCAN_GOLDENS) == 4
+
+
+@pytest.mark.parametrize("path", _SCAN_GOLDENS, ids=lambda p: os.path.basename(p))
+def test_debug_render_classify_path_parity(path):
+    """Classify-path sheets: boxes come from the reference's own scan of
+    scan_string_3, so this exercises border-trimmed tiny crops and real page
+    coordinates through render_region_debug."""
+    from ocr_spark.kernel.debug_render import render_region_debug
+
+    x, y, w, h = map(int, re.match(r"debugscan_(\d+)_(\d+)_(\d+)_(\d+)\.png",
+                                   os.path.basename(path)).groups())
+    img, mask = render_region_debug(_sheet_gray("scan_string_3"), x, y, w, h)
+    with open(path, "rb") as f:
+        gold = decode_rgb(f.read())
+    assert img.shape == gold.shape
+    stray = (img != gold).any(axis=2) & ~mask
+    assert stray.sum() == 0, f"{stray.sum()} px differ outside the divergence mask"
 
 
 @pytest.mark.parametrize("path", _GOLDENS, ids=lambda p: os.path.basename(p))

@@ -51,6 +51,7 @@ public class GoldenDump
 			case "benchscan": benchScan(args[1], Integer.parseInt(args[2])); break;
 			case "rotspline": rotSpline(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
 			case "debugbmp": dumpDebugBitmaps(args[1], args[2], args[3]); break;
+			case "debugscan": dumpDebugScan(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
 			case "aaprobe": dumpAaProbe(args[1]); break;
 			default: throw new IllegalArgumentException(args[0]);
 		}
@@ -72,6 +73,40 @@ public class GoldenDump
 			TextBox box = s.mTextBox;
 			ImageIO.write(b, "png", new File(outDir + "/debugbmp_" + si + "_" + box.x + "_" + box.y + ".png"));
 		}
+	}
+
+	// F8 via the classify path: scan a page (same pad/spacing protocol as
+	// dumpScan) and dump the debug sheet classifySymbol attaches to each
+	// char TextBox (CurvatureClassifier.java:850-861). Filenames carry the
+	// char box (x_y_w_h) on the padded canonical raster.
+	static void dumpDebugScan(String pagePng, double spacingPx, int pad, String outDir) throws Exception
+	{
+		Bitmap sheet = load("/root/reference/src/org/terifan/ocr/fonts/arial.png");
+		BufferedImage src = ImageIO.read(new File(pagePng));
+		if (pad > 0)
+		{
+			BufferedImage padded = new BufferedImage(src.getWidth() + 2 * pad, src.getHeight() + 2 * pad, BufferedImage.TYPE_BYTE_GRAY);
+			java.awt.Graphics2D g = padded.createGraphics();
+			g.setColor(java.awt.Color.WHITE);
+			g.fillRect(0, 0, padded.getWidth(), padded.getHeight());
+			g.drawImage(src, pad, pad, null);
+			g.dispose();
+			src = padded;
+		}
+		Page page = new Page(new Bitmap(src));
+		OCREngine engine = new OCREngine(MS);
+		engine.learnAlphabet("arial", sheet);
+		Settings settings = new Settings();
+		settings.setMaxCharacterSpacing(spacingPx);
+		engine.loadPage(page, settings);
+		engine.scan(0, 0, 1, 1, new SimpleResolver());
+		for (TextBox word : engine.getScanResult())
+			for (TextBox cb : word.getChildren())
+			{
+				BufferedImage b = cb.getSymbolBitmap();
+				if (b == null) continue;
+				ImageIO.write(b, "png", new File(outDir + "/debugscan_" + cb.x + "_" + cb.y + "_" + cb.width + "_" + cb.height + ".png"));
+			}
 	}
 
 	// Java2D SrcOver/stroke calibration probe for the F8 reimplementation:

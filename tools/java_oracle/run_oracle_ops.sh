@@ -64,6 +64,12 @@ rm -rf "$F8TMP"; F8TMP=$(mktemp -d)
 $J debugbmp "$REF/src/org/terifan/ocr/fonts/courier.png" courier "$F8TMP"
 cp "$F8TMP/debugbmp_0_1_1.png"      "$GOLD/debugbmp/courier_debugbmp_0_1_1.png"
 cp "$F8TMP/debugbmp_64_569_346.png" "$GOLD/debugbmp/courier_debugbmp_64_569_346.png"
+rm -rf "$F8TMP"; F8TMP=$(mktemp -d)
+# classify-path sheets (scan-derived char boxes; pad/spacing = scan-golden protocol)
+$J debugscan "$REF/src/org/terifan/ocr2/test_string_3.png" 8 10 "$F8TMP"
+for f in debugscan_10_10_27_31 debugscan_123_11_26_39 debugscan_226_11_13_39 debugscan_306_38_5_6; do
+  cp "$F8TMP/$f.png" "$GOLD/debugbmp/$f.png"
+done
 rm -rf "$F8TMP"
 
 rm -rf "$BUILD"
