@@ -284,7 +284,9 @@ def render_curvature_debug(matrix: np.ndarray, box_xy=(0, 0)):
 
     _draw_text(img, f"{box_xy[0]}, {box_xy[1]}", 0, 10, _BLACK)
 
-    # green per-row contour/slope annotations
+    # green per-row contour/slope annotations; each row's divergence box
+    # scales with its string (JVM 8pt advance measured <= ~4.25 px/char on
+    # both the n=9 and n=16 sheets: 12 chars -> x<=51, 17 chars -> x<=71)
     for ori in range(8):
         for i in range(n):
             a = int(contour[ori][i - 1]) if i > 0 else int(contour[ori][i])
@@ -295,18 +297,16 @@ def render_curvature_debug(matrix: np.ndarray, box_xy=(0, 0)):
             tx = PAD_X - 30
             ty = PAD_Y + ori * (PAD_Y + size) + i * SCALE + SCALE
             _draw_text(img, text, tx, ty, _GREEN)
+            mask[max(ty - 9, 0) : ty + 4, 0 : tx + round(4.5 * len(text)) + 4] = True
 
-    # Text divergence boxes. Pen positions are fixed geometry; widths/heights
-    # are JVM-font extents measured across the full 73-glyph arial sheet
-    # (green row strings: x in [3, 51], never above the tile top; number
-    # labels: x in [73, 106], rows [top-46, top-19]) plus headroom. The gap
-    # x in [58, 72) between text and tiles stays UNMASKED and checked.
+    # Remaining text divergence boxes (the green rows mask themselves above).
+    # Pen positions are fixed geometry; extents are JVM-font measurements
+    # (number labels: x in [73, 106], rows [top-46, top-19]) plus headroom.
     # "x, y" header at baseline (0, 10): width scales with the coordinate
     # digits (JVM 8pt glyph advance <= ~5 px; built-in font uses 4 px)
     mask[0:14, 0 : max(44, 5 * len(f"{box_xy[0]}, {box_xy[1]}") + 6)] = True
     for ori in range(8):
         top = PAD_Y + ori * (PAD_Y + size)
-        mask[top : top + size + 7, 0:58] = True  # green contour/slope rows
         mask[max(top - 48, 0) : top - 16, 72:115] = True  # black cv numbers
     return img, mask
 

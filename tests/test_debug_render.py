@@ -3,7 +3,8 @@
 Goldens: tests/goldens/debugbmp/[{font}_]debugbmp_{si}_{x}_{y}.png are the
 reference's own per-symbol debug sheets, dumped by `GoldenDump debugbmp` from
 CurvatureClassifier.learn() (12 structurally diverse arial glyphs + 2
-courier; the full 73-glyph arial and 66-glyph courier sheets were verified
+courier + 2 arial at matrix size 16, prefix ms16 — the full 73-glyph
+arial sheets at BOTH sizes and the 66-glyph courier sheet were verified
 the same way before committing this subset). debugscan_{x}_{y}_{w}_{h}.png
 are the sheets classifySymbol attaches to char TextBoxes while scanning
 scan_string_3 (GoldenDump debugscan, same pad=10/spacing=8 protocol as the
@@ -53,7 +54,7 @@ _SCAN_GOLDENS = sorted(glob.glob(os.path.join(GOLD, "debugbmp", "debugscan_*.png
 
 
 def test_goldens_present():
-    assert len(_GOLDENS) == 14
+    assert len(_GOLDENS) == 16
     assert len(_SCAN_GOLDENS) == 4
 
 
@@ -77,14 +78,18 @@ def test_debug_render_classify_path_parity(path):
 @pytest.mark.parametrize("path", _GOLDENS, ids=lambda p: os.path.basename(p))
 def test_debug_render_parity(path):
     m = re.match(r"(?:(\w+)_)?debugbmp_(\d+)_(\d+)_(\d+)\.png", os.path.basename(path))
-    sheet = m.group(1) or "arial"
+    prefix = m.group(1)
+    # prefix encodes the variant: a font name (courier) or a non-default
+    # matrix size (ms16 — OCREngine(16), exercising the n-generic geometry)
+    n = 16 if prefix == "ms16" else 9
+    sheet = prefix if prefix in ("courier",) else "arial"
     si, bx, by = int(m.group(2)), int(m.group(3)), int(m.group(4))
     # learn-grid cell geometry (CurvatureClassifier.learn, :56-66)
-    matrix, _ = extract_matrix(_sheet_gray(sheet), bx, by, 69, 67, 9)
+    matrix, _ = extract_matrix(_sheet_gray(sheet), bx, by, 69, 67, n)
     img, mask = render_curvature_debug(matrix, (bx, by))
     with open(path, "rb") as f:
         gold = decode_rgb(f.read())
-    assert img.shape == gold.shape == (1098, 154, 3)
+    assert img.shape == gold.shape == (8 * (8 * n + 64) + 10, 40 + 8 * n + 42, 3)
     diff = (img.astype(int) - gold.astype(int))
     mismatch = (diff != 0).any(axis=2)
     # bit-exact outside the declared divergence mask

@@ -50,7 +50,7 @@ public class GoldenDump
 			case "sheardbg": shearDbg(args[1], Double.parseDouble(args[2]), args[3]); break;
 			case "benchscan": benchScan(args[1], Integer.parseInt(args[2])); break;
 			case "rotspline": rotSpline(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
-			case "debugbmp": dumpDebugBitmaps(args[1], args[2], args[3]); break;
+			case "debugbmp": dumpDebugBitmaps(args[1], args[2], args[3], args.length > 4 ? Integer.parseInt(args[4]) : MS); break;
 			case "debugscan": dumpDebugScan(args[1], Double.parseDouble(args[2]), Integer.parseInt(args[3]), args[4]); break;
 			case "aaprobe": dumpAaProbe(args[1]); break;
 			default: throw new IllegalArgumentException(args[0]);
@@ -59,10 +59,10 @@ public class GoldenDump
 
 	// F8 debug curvature renders: learn() attaches one per glyph
 	// (CurvatureClassifier.java:74-76 -> generateCurvatureBitmap :498-735).
-	static void dumpDebugBitmaps(String fontPng, String fontName, String outDir) throws Exception
+	static void dumpDebugBitmaps(String fontPng, String fontName, String outDir, int ms) throws Exception
 	{
 		Bitmap sheet = load(fontPng);
-		OCREngine engine = new OCREngine(MS);
+		OCREngine engine = new OCREngine(ms);
 		engine.learnAlphabet(fontName, sheet);
 		ArrayList<Symbol> symbols = engine.getTemplates();
 		for (int si = 0; si < symbols.size(); si++)

@@ -65,6 +65,11 @@ $J debugbmp "$REF/src/org/terifan/ocr/fonts/courier.png" courier "$F8TMP"
 cp "$F8TMP/debugbmp_0_1_1.png"      "$GOLD/debugbmp/courier_debugbmp_0_1_1.png"
 cp "$F8TMP/debugbmp_64_569_346.png" "$GOLD/debugbmp/courier_debugbmp_64_569_346.png"
 rm -rf "$F8TMP"; F8TMP=$(mktemp -d)
+# matrix-size-16 variants (n-generic geometry check; default engine size is 9)
+$J debugbmp "$REF/src/org/terifan/ocr/fonts/arial.png" arial "$F8TMP" 16
+cp "$F8TMP/debugbmp_0_1_1.png"   "$GOLD/debugbmp/ms16_debugbmp_0_1_1.png"
+cp "$F8TMP/debugbmp_9_640_1.png" "$GOLD/debugbmp/ms16_debugbmp_9_640_1.png"
+rm -rf "$F8TMP"; F8TMP=$(mktemp -d)
 # classify-path sheets (scan-derived char boxes; pad/spacing = scan-golden protocol)
 $J debugscan "$REF/src/org/terifan/ocr2/test_string_3.png" 8 10 "$F8TMP"
 for f in debugscan_10_10_27_31 debugscan_123_11_26_39 debugscan_226_11_13_39 debugscan_306_38_5_6; do
